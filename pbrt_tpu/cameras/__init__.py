@@ -1,0 +1,15 @@
+from .cameras import (
+    CameraParams,
+    make_perspective_camera,
+    make_orthographic_camera,
+    make_environment_camera,
+    generate_rays,
+)
+
+__all__ = [
+    "CameraParams",
+    "make_perspective_camera",
+    "make_orthographic_camera",
+    "make_environment_camera",
+    "generate_rays",
+]

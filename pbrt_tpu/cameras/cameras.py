@@ -1,0 +1,207 @@
+"""Batched camera ray generation.
+
+TPU re-expression of src/cameras/: pbrt's Camera::GenerateRay runs once per
+sample behind a virtual call (camera.h:50-77, perspective.cpp:69-95); here a
+camera is a parameter pytree plus one pure function mapping a flat batch of
+film/lens/time samples to world-space rays — an elementwise VPU program.
+
+Projective matrix plumbing (camera.h ProjectiveCamera ctor): the host builds
+RasterToCamera = CameraToScreen^-1 . ScreenToRaster^-1 once in float64 and
+bakes f32 matrices into the pytree.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static_field
+from ..core import transform as tf
+from ..core import sampling as smp
+from ..core.vecmath import normalize, vec
+
+CAM_PERSPECTIVE = 0
+CAM_ORTHOGRAPHIC = 1
+CAM_ENVIRONMENT = 2
+
+
+@pytree_dataclass
+class CameraParams:
+    cam_type: int = static_field(default=CAM_PERSPECTIVE)
+    raster_to_camera: jnp.ndarray = None  # [4,4]
+    camera_to_world: jnp.ndarray = None  # [4,4]
+    lens_radius: jnp.ndarray = None  # []
+    focal_distance: jnp.ndarray = None  # []
+    shutter_open: jnp.ndarray = None
+    shutter_close: jnp.ndarray = None
+    full_resolution: tuple = static_field(default=(0, 0))
+
+
+def _screen_window(aspect: float, screen=None):
+    """Default screen window (api.cpp:1716 region / camera.cpp semantics)."""
+    if screen is not None:
+        return screen
+    if aspect > 1.0:
+        return (-aspect, aspect, -1.0, 1.0)
+    return (-1.0, 1.0, -1.0 / aspect, 1.0 / aspect)
+
+
+def _raster_to_screen(resolution, screen):
+    x0, x1, y0, y1 = screen
+    xr, yr = resolution
+    # ScreenToRaster = Scale(res) . Scale(1/(x1-x0), 1/(y0-y1)) . Translate(-x0, -y1)
+    # (camera.h ProjectiveCamera ctor); note the y flip.
+    s2r = (
+        tf.scale(xr, yr, 1.0)
+        @ tf.scale(1.0 / (x1 - x0), 1.0 / (y0 - y1), 1.0)
+        @ tf.translate(-x0, -y1, 0.0)
+    )
+    return s2r.inverse
+
+
+def make_perspective_camera(
+    camera_to_world: tf.Transform,
+    resolution,
+    fov_deg: float = 90.0,
+    screen=None,
+    lens_radius: float = 0.0,
+    focal_distance: float = 1e6,
+    shutter_open: float = 0.0,
+    shutter_close: float = 1.0,
+) -> CameraParams:
+    """(cameras/perspective.cpp:43-95 PerspectiveCamera)."""
+    aspect = resolution[0] / resolution[1]
+    screen = _screen_window(aspect, screen)
+    cam_to_screen = tf.perspective(fov_deg, 1e-2, 1000.0)
+    raster_to_screen = _raster_to_screen(resolution, screen)
+    raster_to_camera = tf.Transform(
+        cam_to_screen.m_inv @ raster_to_screen.m,
+        raster_to_screen.m_inv @ cam_to_screen.m,
+    )
+    return CameraParams(
+        cam_type=CAM_PERSPECTIVE,
+        raster_to_camera=jnp.asarray(raster_to_camera.m),
+        camera_to_world=jnp.asarray(camera_to_world.m),
+        lens_radius=jnp.float32(lens_radius),
+        focal_distance=jnp.float32(focal_distance),
+        shutter_open=jnp.float32(shutter_open),
+        shutter_close=jnp.float32(shutter_close),
+        full_resolution=tuple(resolution),
+    )
+
+
+def make_orthographic_camera(
+    camera_to_world: tf.Transform,
+    resolution,
+    screen=None,
+    lens_radius: float = 0.0,
+    focal_distance: float = 1e6,
+    shutter_open: float = 0.0,
+    shutter_close: float = 1.0,
+) -> CameraParams:
+    """(cameras/orthographic.cpp)."""
+    aspect = resolution[0] / resolution[1]
+    screen = _screen_window(aspect, screen)
+    cam_to_screen = tf.orthographic(0.0, 1.0)
+    raster_to_screen = _raster_to_screen(resolution, screen)
+    raster_to_camera = tf.Transform(
+        cam_to_screen.m_inv @ raster_to_screen.m,
+        raster_to_screen.m_inv @ cam_to_screen.m,
+    )
+    return CameraParams(
+        cam_type=CAM_ORTHOGRAPHIC,
+        raster_to_camera=jnp.asarray(raster_to_camera.m),
+        camera_to_world=jnp.asarray(camera_to_world.m),
+        lens_radius=jnp.float32(lens_radius),
+        focal_distance=jnp.float32(focal_distance),
+        shutter_open=jnp.float32(shutter_open),
+        shutter_close=jnp.float32(shutter_close),
+        full_resolution=tuple(resolution),
+    )
+
+
+def make_environment_camera(
+    camera_to_world: tf.Transform,
+    resolution,
+    shutter_open: float = 0.0,
+    shutter_close: float = 1.0,
+) -> CameraParams:
+    """(cameras/environment.cpp:43) equirect sphere rays."""
+    return CameraParams(
+        cam_type=CAM_ENVIRONMENT,
+        raster_to_camera=jnp.eye(4),
+        camera_to_world=jnp.asarray(camera_to_world.m),
+        lens_radius=jnp.float32(0.0),
+        focal_distance=jnp.float32(1e6),
+        shutter_open=jnp.float32(shutter_open),
+        shutter_close=jnp.float32(shutter_close),
+        full_resolution=tuple(resolution),
+    )
+
+
+def _xform_point(m, p):
+    return p @ m[:3, :3].T + m[:3, 3]
+
+
+def _xform_vector(m, v):
+    return v @ m[:3, :3].T
+
+
+def generate_rays(cam: CameraParams, p_film, p_lens, time_u):
+    """Camera::GenerateRay over a batch.
+
+    p_film: [N, 2] raster-space sample positions (CameraSample::pFilm);
+    p_lens: [N, 2] in [0,1)^2; time_u: [N] in [0,1).
+    Returns (o[N,3], d[N,3], time[N], weight[N]).
+    """
+    n = p_film.shape[0]
+    time = cam.shutter_open + time_u * (cam.shutter_close - cam.shutter_open)
+    if cam.cam_type == CAM_ENVIRONMENT:
+        # (environment.cpp:43-57): equirect theta/phi from raster coords.
+        xr, yr = cam.full_resolution
+        theta = jnp.pi * p_film[:, 1] / yr
+        phi = 2.0 * jnp.pi * p_film[:, 0] / xr
+        d = vec(
+            jnp.sin(theta) * jnp.cos(phi),
+            jnp.cos(theta),
+            jnp.sin(theta) * jnp.sin(phi),
+        )
+        o = jnp.zeros((n, 3), jnp.float32)
+        o = _xform_point(cam.camera_to_world, o)
+        d = _xform_vector(cam.camera_to_world, d)
+        return o, d, time, jnp.ones((n,), jnp.float32)
+
+    p_raster = jnp.concatenate(
+        [p_film, jnp.zeros((n, 1), jnp.float32)], axis=-1
+    )
+    p_cam_h = _xform_point(cam.raster_to_camera, p_raster)
+    w = (
+        p_raster @ cam.raster_to_camera[3, :3].T + cam.raster_to_camera[3, 3]
+    )
+    p_cam = p_cam_h / w[..., None]
+
+    if cam.cam_type == CAM_PERSPECTIVE:
+        o = jnp.zeros((n, 3), jnp.float32)
+        d = normalize(p_cam)
+    else:  # orthographic
+        o = p_cam
+        d = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3)
+        )
+
+    # Thin-lens depth of field (perspective.cpp:76-95).
+    def with_lens(o, d):
+        pl = cam.lens_radius * smp.concentric_sample_disk(p_lens)
+        ft = cam.focal_distance / d[:, 2]
+        p_focus = o + ft[:, None] * d
+        o2 = jnp.concatenate([pl, jnp.zeros((n, 1), jnp.float32)], axis=-1)
+        d2 = normalize(p_focus - o2)
+        return o2, d2
+
+    has_lens = cam.lens_radius > 0.0
+    o_l, d_l = with_lens(o, d)
+    o = jnp.where(has_lens, o_l, o)
+    d = jnp.where(has_lens, d_l, d)
+
+    o = _xform_point(cam.camera_to_world, o)
+    d = _xform_vector(cam.camera_to_world, d)
+    return o, d, time, jnp.ones((n,), jnp.float32)

@@ -1,0 +1,223 @@
+"""Quadric shapes (sphere, cylinder, disk, cone, paraboloid, hyperboloid).
+
+TPU re-expression of src/shapes/{sphere,cylinder,disk,...}.cpp: one
+type-switched kernel family over a SoA quadric table.  Each quadric carries
+its object<->world 4x4 matrices (quadrics intersect in object space,
+sphere.cpp:70-77) plus params {radius, z_min, z_max, phi_max, extra}.
+
+The reference uses EFloat interval arithmetic for robust quadratic roots
+(efloat.h:48-100); here we solve in f32 with the numerically-stable quadratic
+formula and apply pbrt's closed-form gamma() error bounds — SURVEY.md §2.1's
+"conservative fixed gamma(n) scalars" plan.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.vecmath import dot, gamma, length, normalize, vec, cross
+
+QUADRIC_SPHERE = 0
+QUADRIC_CYLINDER = 1
+QUADRIC_DISK = 2
+QUADRIC_CONE = 3
+QUADRIC_PARABOLOID = 4
+QUADRIC_HYPERBOLOID = 5
+
+
+def _quadratic(a, b, c):
+    """Stable quadratic solve (pbrt.h:419 Quadratic), vectorized.
+
+    Returns (ok, t0, t1) with t0 <= t1.
+    """
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
+    t0 = q / jnp.where(a == 0.0, 1.0, a)
+    t1 = c / jnp.where(q == 0.0, 1.0, q)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    return ok, lo, hi
+
+
+def _to_object(w2o, o, d):
+    oo = o @ w2o[..., :3, :3].swapaxes(-1, -2).squeeze() if w2o.ndim == 2 else None
+    raise NotImplementedError
+
+
+def xform_point(m, p):
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+
+
+def xform_vector(m, v):
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+
+
+def intersect_sphere(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
+    """Sphere::Intersect (sphere.cpp:70-236), batched & branch-free.
+
+    o, d: world-space ray; w2o/o2w: [..., 4, 4]; scalars broadcast.
+    Returns dict: hit, t, p_hit (world), ng (world), uv, p_error (world).
+    """
+    oo = xform_point(w2o, o)
+    od = xform_vector(w2o, d)
+
+    a = dot(od, od)
+    b = 2.0 * dot(oo, od)
+    c = dot(oo, oo) - radius * radius
+    ok, t0, t1 = _quadratic(a, b, c)
+
+    def clip_phi(p_hit):
+        # Refine: project exactly to the sphere (sphere.cpp:139).
+        p_hit = p_hit * (radius / jnp.maximum(length(p_hit), 1e-20))[..., None]
+        x = jnp.where(
+            (p_hit[..., 0] == 0.0) & (p_hit[..., 1] == 0.0),
+            1e-5 * radius,
+            p_hit[..., 0],
+        )
+        p_hit = p_hit.at[..., 0].set(x) if hasattr(p_hit, "at") else p_hit
+        phi = jnp.arctan2(p_hit[..., 1], p_hit[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        z_ok = jnp.where(
+            (z_min > -radius), p_hit[..., 2] >= z_min, True
+        ) & jnp.where((z_max < radius), p_hit[..., 2] <= z_max, True)
+        return p_hit, phi, z_ok & (phi <= phi_max)
+
+    # Try t0, fall back to t1 (sphere.cpp:128-158 clipping logic).
+    full = (z_min <= -radius) & (z_max >= radius) & (phi_max >= 2.0 * jnp.pi - 1e-6)
+
+    p0 = oo + t0[..., None] * od
+    p0, phi0, ok0 = clip_phi(p0)
+    p1 = oo + t1[..., None] * od
+    p1, phi1, ok1 = clip_phi(p1)
+
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & ok0
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & ok1
+    hit = valid0 | valid1
+    use0 = valid0
+    t = jnp.where(use0, t0, t1)
+    p_hit = jnp.where(use0[..., None], p0, p1)
+    phi = jnp.where(use0, phi0, phi1)
+
+    # Parametric uv (sphere.cpp:160-169).
+    u = phi / phi_max
+    theta = jnp.arccos(jnp.clip(p_hit[..., 2] / radius, -1.0, 1.0))
+    theta_min = jnp.arccos(jnp.clip(z_max / radius, -1.0, 1.0))
+    theta_max = jnp.arccos(jnp.clip(z_min / radius, -1.0, 1.0))
+    v = (theta - theta_min) / jnp.maximum(theta_max - theta_min, 1e-20)
+    uv = jnp.stack([u, v], axis=-1)
+
+    # Object-space error bound gamma(5)*|pHit| (sphere.cpp:225).
+    p_err_obj = gamma(5) * jnp.abs(p_hit)
+
+    ng_obj = normalize(p_hit)
+    # To world: point via o2w, normal via inverse-transpose = w2o^T.
+    p_world = xform_point(o2w, p_hit)
+    ng_world = normalize(
+        jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj)
+    )
+    # Transform error through o2w (geometry abs-matrix bound, transform.h:303).
+    abs_m = jnp.abs(o2w[..., :3, :3])
+    p_err_world = (
+        jnp.einsum("...ij,...j->...i", abs_m, p_err_obj)
+        + gamma(3)
+        * (
+            jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p_hit))
+            + jnp.abs(o2w[..., :3, 3])
+        )
+    )
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, jnp.inf),
+        "p_hit": p_world,
+        "ng": ng_world,
+        "uv": uv,
+        "p_error": p_err_world,
+    }
+
+
+def intersect_disk(o, d, t_max, w2o, o2w, radius, inner_radius, height, phi_max):
+    """Disk::Intersect (disk.cpp:47-107)."""
+    oo = xform_point(w2o, o)
+    od = xform_vector(w2o, d)
+    dz = jnp.where(od[..., 2] == 0.0, 1e-20, od[..., 2])
+    t = (height - oo[..., 2]) / dz
+    p_hit = oo + t[..., None] * od
+    dist2 = p_hit[..., 0] ** 2 + p_hit[..., 1] ** 2
+    phi = jnp.arctan2(p_hit[..., 1], p_hit[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2 * jnp.pi, phi)
+    hit = (
+        (od[..., 2] != 0.0)
+        & (t > 0.0)
+        & (t < t_max)
+        & (dist2 <= radius * radius)
+        & (dist2 >= inner_radius * inner_radius)
+        & (phi <= phi_max)
+    )
+    r_hit = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    u = phi / phi_max
+    v = (radius - r_hit) / jnp.maximum(radius - inner_radius, 1e-20)
+    ng_obj = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p_hit.shape)
+    p_world = xform_point(o2w, p_hit)
+    ng_world = normalize(jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj))
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, jnp.inf),
+        "p_hit": p_world,
+        "ng": ng_world,
+        "uv": jnp.stack([u, v], axis=-1),
+        "p_error": jnp.zeros_like(p_hit),
+    }
+
+
+def intersect_cylinder(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
+    """Cylinder::Intersect (cylinder.cpp:47-156)."""
+    oo = xform_point(w2o, o)
+    od = xform_vector(w2o, d)
+    a = od[..., 0] ** 2 + od[..., 1] ** 2
+    b = 2.0 * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1])
+    c = oo[..., 0] ** 2 + oo[..., 1] ** 2 - radius * radius
+    ok, t0, t1 = _quadratic(a, b, c)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        hit_r = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-20))
+        p = p * jnp.stack(
+            [radius / hit_r, radius / hit_r, jnp.ones_like(hit_r)], -1
+        )
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        okc = (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
+        return p, phi, okc
+
+    p0, phi0, ok0 = clip(t0)
+    p1, phi1, ok1 = clip(t1)
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & ok0
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & ok1
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    p_hit = jnp.where(valid0[..., None], p0, p1)
+    phi = jnp.where(valid0, phi0, phi1)
+    u = phi / phi_max
+    v = (p_hit[..., 2] - z_min) / jnp.maximum(z_max - z_min, 1e-20)
+    ng_obj = normalize(
+        jnp.stack([p_hit[..., 0], p_hit[..., 1], jnp.zeros_like(phi)], -1)
+    )
+    p_world = xform_point(o2w, p_hit)
+    ng_world = normalize(jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj))
+    p_err_obj = gamma(3) * jnp.abs(
+        jnp.stack([p_hit[..., 0], p_hit[..., 1], jnp.zeros_like(phi)], -1)
+    )
+    abs_m = jnp.abs(o2w[..., :3, :3])
+    p_err_world = jnp.einsum("...ij,...j->...i", abs_m, p_err_obj) + gamma(3) * (
+        jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p_hit))
+        + jnp.abs(o2w[..., :3, 3])
+    )
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, jnp.inf),
+        "p_hit": p_world,
+        "ng": ng_world,
+        "uv": jnp.stack([u, v], axis=-1),
+        "p_error": p_err_world,
+    }
