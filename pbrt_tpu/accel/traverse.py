@@ -1,0 +1,296 @@
+"""Device-side BVH traversal over flattened LinearBVHNode arrays.
+
+TPU re-expression of BVHAccel::Intersect/IntersectP (bvh.cpp:662-738): the
+per-ray explicit-stack walk becomes a lockstep "if-if" wavefront — each
+iteration, every live lane either (a) advances one node visit (slab test +
+push/pop) or (b) tests one leaf primitive, all branch-free under masks.  The
+per-lane 24-entry stack lives in a [N, DEPTH] array.
+
+This is the pure-jnp correctness reference; ops/pallas_bvh.py provides the
+Pallas kernel with the same semantics (SURVEY.md §7 "hard parts": BVH on the
+VPU).  Front-to-back ordering via dirIsNeg[axis] and the robust
+tMax*(1+2*gamma(3)) slab bound match bvh.cpp:671-698 / geometry.h:1412.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import gamma
+from ..shapes.triangle import intersect_triangle
+from ..shapes import quadrics as quad
+from .. import scene as sc
+
+STACK_DEPTH = 64  # matches pbrt's todo[64] (bvh.cpp:671)
+_SLAB_EPS = 1.0 + 2.0 * gamma(3)
+
+
+def _slab_test(nmin, nmax, o, inv_d, t_best):
+    """Bounds3::IntersectP (geometry.h:1388-1423), vectorized."""
+    t0 = (nmin - o) * inv_d
+    t1 = (nmax - o) * inv_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1) * _SLAB_EPS
+    t_near = jnp.max(tn, axis=-1)
+    t_far = jnp.min(tf, axis=-1)
+    return (t_near <= t_far) & (t_far > 0.0) & (t_near < t_best)
+
+
+def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
+    """Intersect one primitive record per lane; returns (hit, t)."""
+    ptype = scene.prim_type[prim_id]
+    pidx = scene.prim_idx[prim_id]
+
+    # Triangle path (dominant).
+    vid = scene.tri_indices[jnp.clip(pidx, 0, scene.tri_indices.shape[0] - 1)]
+    p0 = scene.tri_p[vid[..., 0]]
+    p1 = scene.tri_p[vid[..., 1]]
+    p2 = scene.tri_p[vid[..., 2]]
+    tri = intersect_triangle(o, d, t_best, p0, p1, p2)
+    hit = (ptype == sc.SHAPE_TRIANGLE) & tri["hit"]
+    t = jnp.where(hit, tri["t"], jnp.inf)
+
+    # Quadric paths, masked per type present in the scene (static set).
+    if quadric_types:
+        qidx = jnp.clip(pidx, 0, scene.q_type.shape[0] - 1)
+        w2o = scene.q_w2o[qidx]
+        o2w = scene.q_o2w[qidx]
+        par = scene.q_params[qidx]
+        if sc.SHAPE_SPHERE in quadric_types:
+            s = quad.intersect_sphere(
+                o, d, t_best, w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
+            )
+            m = (ptype == sc.SHAPE_SPHERE) & s["hit"]
+            t = jnp.where(m & (s["t"] < t), s["t"], t)
+            hit = hit | m
+        if sc.SHAPE_CYLINDER in quadric_types:
+            s = quad.intersect_cylinder(
+                o, d, t_best, w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
+            )
+            m = (ptype == sc.SHAPE_CYLINDER) & s["hit"]
+            t = jnp.where(m & (s["t"] < t), s["t"], t)
+            hit = hit | m
+        if sc.SHAPE_DISK in quadric_types:
+            s = quad.intersect_disk(
+                o, d, t_best, w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
+            )
+            m = (ptype == sc.SHAPE_DISK) & s["hit"]
+            t = jnp.where(m & (s["t"] < t), s["t"], t)
+            hit = hit | m
+    return hit, t
+
+
+def _traverse(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit: bool):
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+
+    state = dict(
+        node=jnp.zeros((n,), jnp.int32),
+        sp=jnp.zeros((n,), jnp.int32),
+        stack=jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        leaf_cur=jnp.zeros((n,), jnp.int32),
+        leaf_end=jnp.zeros((n,), jnp.int32),
+        t_best=jnp.asarray(t_max) * jnp.ones((n,), jnp.float32),
+        prim_best=jnp.full((n,), -1, jnp.int32),
+    )
+
+    lane = jnp.arange(n)
+
+    def alive(s):
+        live = (s["node"] >= 0) | (s["leaf_cur"] < s["leaf_end"])
+        if any_hit:
+            live = live & (s["prim_best"] < 0)
+        return live
+
+    def cond(s):
+        return jnp.any(alive(s))
+
+    def body(s):
+        live = alive(s)
+        in_leaf = live & (s["leaf_cur"] < s["leaf_end"])
+        at_node = live & ~in_leaf & (s["node"] >= 0)
+
+        # ---- leaf-primitive step ----
+        prim_id = jnp.clip(s["leaf_cur"], 0, scene.prim_type.shape[0] - 1)
+        p_hit, p_t = _test_prim(scene, prim_id, o, d, s["t_best"], quadric_types)
+        take = in_leaf & p_hit & (p_t < s["t_best"])
+        t_best = jnp.where(take, p_t, s["t_best"])
+        prim_best = jnp.where(take, prim_id, s["prim_best"])
+        leaf_cur = jnp.where(in_leaf, s["leaf_cur"] + 1, s["leaf_cur"])
+
+        # ---- node step ----
+        nd = jnp.clip(s["node"], 0, scene.bvh_min.shape[0] - 1)
+        node_hit = at_node & _slab_test(
+            scene.bvh_min[nd], scene.bvh_max[nd], o, inv_d, t_best
+        )
+        is_leaf_node = scene.bvh_nprims[nd] > 0
+        enter_leaf = node_hit & is_leaf_node
+        is_push = node_hit & ~is_leaf_node
+        need_pop = at_node & ~is_push  # miss or entered leaf -> advance via pop
+
+        # Set leaf range on entry.
+        off = scene.bvh_offset[nd]
+        npr = scene.bvh_nprims[nd]
+        leaf_cur = jnp.where(enter_leaf, off, leaf_cur)
+        leaf_end = jnp.where(enter_leaf, off + npr, s["leaf_end"])
+
+        # Push far child / descend near child (front-to-back, bvh.cpp:685-697).
+        axis = scene.bvh_axis[nd]
+        dir_neg = jnp.take_along_axis(d, axis[..., None], axis=-1)[..., 0] < 0.0
+        near = jnp.where(dir_neg, off, nd + 1)
+        far = jnp.where(dir_neg, nd + 1, off)
+        spc = jnp.clip(s["sp"], 0, STACK_DEPTH - 1)
+        stack = s["stack"].at[lane, spc].set(
+            jnp.where(is_push, far, s["stack"][lane, spc])
+        )
+        sp = s["sp"] + is_push.astype(jnp.int32)
+
+        # Pop (or terminate when the stack is empty).
+        can_pop = sp > 0
+        sp_popped = jnp.clip(sp - 1, 0, STACK_DEPTH - 1)
+        popped = stack[lane, sp_popped]
+        node = jnp.where(
+            need_pop,
+            jnp.where(can_pop, popped, -1),
+            jnp.where(is_push, near, s["node"]),
+        )
+        sp = jnp.where(need_pop & can_pop, sp - 1, sp)
+
+        return dict(
+            node=node,
+            sp=sp,
+            stack=stack,
+            leaf_cur=leaf_cur,
+            leaf_end=leaf_end,
+            t_best=t_best,
+            prim_best=prim_best,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    # Discrete events are detached (SURVEY.md §7 differentiability stance):
+    # gradients flow through the differentiable re-intersection in
+    # hit_record(), not through the traversal's control flow.
+    return jax.lax.stop_gradient(out["t_best"]), out["prim_best"]
+
+
+def scene_quadric_types(scene: sc.SceneArrays) -> tuple:
+    """Host-side: which quadric types exist (static specialization set)."""
+    import numpy as np
+
+    types = set(np.unique(np.asarray(scene.prim_type)).tolist())
+    return tuple(sorted(t for t in types if t != sc.SHAPE_TRIANGLE))
+
+
+def intersect_closest(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
+    """Closest-hit query.  Returns (t [N], prim_id [N]; -1 = miss)."""
+    return _traverse(scene, o, d, t_max, quadric_types, any_hit=False)
+
+
+def intersect_any(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
+    """Shadow-ray query with early-out (bvh.cpp:702 IntersectP).
+    Returns occluded [N] bool."""
+    _, prim = _traverse(scene, o, d, t_max, quadric_types, any_hit=True)
+    return prim >= 0
+
+
+def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
+    """Recompute full SurfaceInteraction data for the best hit per lane.
+
+    Mirrors SurfaceInteraction construction (core/interaction.cpp:92 region +
+    triangle.cpp:309-430): position, geometric/shading normal, uv, error
+    bounds, material & area-light ids.
+    """
+    hit = prim_id >= 0
+    pid = jnp.clip(prim_id, 0, scene.prim_type.shape[0] - 1)
+    ptype = scene.prim_type[pid]
+    pidx = scene.prim_idx[pid]
+
+    # Triangle attributes.
+    vid = scene.tri_indices[jnp.clip(pidx, 0, scene.tri_indices.shape[0] - 1)]
+    p0 = scene.tri_p[vid[..., 0]]
+    p1 = scene.tri_p[vid[..., 1]]
+    p2 = scene.tri_p[vid[..., 2]]
+    tri = intersect_triangle(o, d, jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf), p0, p1, p2)
+    from ..shapes.triangle import triangle_geometry
+
+    uv_default = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], jnp.float32)
+    has_uv = scene.tri_has_uv[jnp.clip(pidx, 0, scene.tri_has_uv.shape[0] - 1)]
+    uv0 = jnp.where(has_uv[..., None], scene.tri_uv[vid[..., 0]], uv_default[0])
+    uv1 = jnp.where(has_uv[..., None], scene.tri_uv[vid[..., 1]], uv_default[1])
+    uv2 = jnp.where(has_uv[..., None], scene.tri_uv[vid[..., 2]], uv_default[2])
+    ng_t, dpdu_t, dpdv_t = triangle_geometry(p0, p1, p2, uv0, uv1, uv2)
+    b0, b1, b2 = tri["b0"], tri["b1"], tri["b2"]
+    uv_t = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
+    has_n = scene.tri_has_n[jnp.clip(pidx, 0, scene.tri_has_n.shape[0] - 1)]
+    ns_raw = (
+        b0[..., None] * scene.tri_n[vid[..., 0]]
+        + b1[..., None] * scene.tri_n[vid[..., 1]]
+        + b2[..., None] * scene.tri_n[vid[..., 2]]
+    )
+    ns_len = jnp.sqrt(jnp.sum(ns_raw * ns_raw, axis=-1, keepdims=True))
+    ns_t = jnp.where(
+        (has_n[..., None]) & (ns_len > 1e-8), ns_raw / jnp.maximum(ns_len, 1e-20), ng_t
+    )
+    # pbrt orients ng to agree with shading normal on meshes with normals
+    # (triangle.cpp:389-397).
+    flip = jnp.sum(ng_t * ns_t, axis=-1) < 0.0
+    ng_t = jnp.where((has_n & flip)[..., None], -ng_t, ng_t)
+    p_t = tri["p_hit"]
+    perr_t = tri["p_error"]
+
+    # Defaults are *unit* frames (not zeros): miss lanes are masked out
+    # downstream, but zero normals would send NaNs through normalize() in
+    # the backward pass (masked-lane NaN gradients).
+    is_tri = (ptype == sc.SHAPE_TRIANGLE) & hit
+    unit_z = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p_t.shape)
+    unit_x = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), p_t.shape)
+    p = jnp.where(is_tri[..., None], p_t, 0.0)
+    ng = jnp.where(is_tri[..., None], ng_t, unit_z)
+    ns = jnp.where(is_tri[..., None], ns_t, unit_z)
+    uv = jnp.where(is_tri[..., None], uv_t, 0.0)
+    p_err = jnp.where(is_tri[..., None], perr_t, 0.0)
+    dpdu = jnp.where(is_tri[..., None], dpdu_t, unit_x)
+
+    if quadric_types:
+        qidx = jnp.clip(pidx, 0, scene.q_type.shape[0] - 1)
+        w2o = scene.q_w2o[qidx]
+        o2w = scene.q_o2w[qidx]
+        par = scene.q_params[qidx]
+        rev = scene.q_rev[qidx]
+        fns = {
+            sc.SHAPE_SPHERE: quad.intersect_sphere,
+            sc.SHAPE_CYLINDER: quad.intersect_cylinder,
+            sc.SHAPE_DISK: quad.intersect_disk,
+        }
+        for qt in quadric_types:
+            s = fns[qt](
+                o, d, jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf),
+                w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3],
+            )
+            m = (ptype == qt) & s["hit"]
+            ngq = jnp.where(rev[..., None], -s["ng"], s["ng"])
+            p = jnp.where(m[..., None], s["p_hit"], p)
+            ng = jnp.where(m[..., None], ngq, ng)
+            ns = jnp.where(m[..., None], ngq, ns)
+            uv = jnp.where(m[..., None], s["uv"], uv)
+            p_err = jnp.where(m[..., None], s["p_error"], p_err)
+            # dpdu for quadrics: any tangent frame (bsdf only needs consistency).
+            from ..core.vecmath import coordinate_system
+
+            tq, _ = coordinate_system(jnp.where(m[..., None], ngq, ns))
+            dpdu = jnp.where(m[..., None], tq, dpdu)
+
+    return {
+        "hit": hit,
+        "t": t,
+        "prim_id": prim_id,
+        "p": p,
+        "ng": ng,
+        "ns": ns,
+        "uv": uv,
+        "p_error": p_err,
+        "dpdu": dpdu,
+        "wo": -d,
+        "material": jnp.where(hit, scene.prim_material[pid], -1),
+        "arealight": jnp.where(hit, scene.prim_arealight[pid], -1),
+    }

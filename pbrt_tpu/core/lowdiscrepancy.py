@@ -53,9 +53,13 @@ PRIME_SUMS = np.concatenate([[0], np.cumsum(PRIMES)[:-1]]).astype(np.int64)
 
 @functools.cache
 def sobol_tables():
-    """dict of device arrays: sobol_matrices32 [1024, 52] u32, vdc pairs."""
+    """dict of numpy arrays: sobol_matrices32 [1024, 52] u32, vdc pairs.
+
+    Cached as NUMPY (never jnp) so a first call under a jit trace can't cache
+    tracers; jnp converts at use sites (constant-folded by XLA).
+    """
     z = np.load(_DATA)
-    return {k: jnp.asarray(z[k]) for k in z.files}
+    return {k: z[k].copy() for k in z.files}
 
 
 @functools.cache

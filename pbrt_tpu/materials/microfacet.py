@@ -1,0 +1,173 @@
+"""Microfacet distributions (Beckmann & Trowbridge-Reitz/GGX).
+
+TPU re-expression of core/microfacet.{h,cpp}: D, Smith Lambda/G, and
+visible-normal sampling as pure elementwise functions in the local shading
+frame (z = normal).  Formulas follow microfacet.h:48-129, microfacet.cpp
+(TrowbridgeReitzSample11 at microfacet.cpp:238-290).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.vecmath import (
+    abs_cos_theta,
+    cos2_theta,
+    cos_phi,
+    cos_theta,
+    normalize,
+    same_hemisphere,
+    sin_phi,
+    tan2_theta,
+    tan_theta,
+    vec,
+    dot,
+)
+
+
+def roughness_to_alpha(roughness):
+    """TrowbridgeReitzDistribution::RoughnessToAlpha (microfacet.h:122)."""
+    roughness = jnp.maximum(roughness, 1e-3)
+    x = jnp.log(roughness)
+    return (
+        1.62142
+        + 0.819955 * x
+        + 0.1734 * x * x
+        + 0.0171201 * x * x * x
+        + 0.000640711 * x * x * x * x
+    )
+
+
+def tr_d(wh, ax, ay):
+    """TrowbridgeReitz D (microfacet.cpp:130)."""
+    t2 = tan2_theta(wh)
+    c4 = cos2_theta(wh) ** 2
+    e = (cos_phi(wh) ** 2 / (ax * ax) + sin_phi(wh) ** 2 / (ay * ay)) * t2
+    d = 1.0 / (jnp.pi * ax * ay * c4 * (1.0 + e) ** 2)
+    return jnp.where(jnp.isfinite(t2), d, 0.0)
+
+
+def tr_lambda(w, ax, ay):
+    """TrowbridgeReitz Lambda (microfacet.cpp:149)."""
+    abs_tan = jnp.abs(tan_theta(w))
+    alpha = jnp.sqrt(
+        cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay
+    )
+    a2t2 = (alpha * abs_tan) ** 2
+    lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
+    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+
+
+def tr_g1(w, ax, ay):
+    return 1.0 / (1.0 + tr_lambda(w, ax, ay))
+
+
+def tr_g(wo, wi, ax, ay):
+    """Smith height-correlated-ish G used by pbrt: 1/(1+Λo+Λi)."""
+    return 1.0 / (1.0 + tr_lambda(wo, ax, ay) + tr_lambda(wi, ax, ay))
+
+
+def _tr_sample_11(cos_theta_in, u1, u2):
+    """TrowbridgeReitzSample11 (microfacet.cpp:238): slope sampling for the
+    isotropic unit-roughness distribution given incident cos theta."""
+    # Special case: normal incidence.
+    r = jnp.sqrt(u1 / jnp.maximum(1.0 - u1, 1e-12))
+    phi = 2.0 * jnp.pi * u2
+    slope_x_n = r * jnp.cos(phi)
+    slope_y_n = r * jnp.sin(phi)
+
+    cos_t = jnp.clip(cos_theta_in, -0.9999999, 0.9999999)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    tan_t = sin_t / jnp.where(cos_t == 0.0, 1e-12, cos_t)
+    a = 1.0 / jnp.where(tan_t == 0.0, 1e-12, tan_t)
+    g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-20)))
+
+    # Sample slope_x (microfacet.cpp:255-270).
+    A = 2.0 * u1 / g1 - 1.0
+    A = jnp.clip(A, -1.0 + 1e-6, 1.0 - 1e-6)
+    tmp = jnp.minimum(1.0 / jnp.maximum(A * A - 1.0, -1e12), 1e10)
+    tmp = 1.0 / (A * A - 1.0)
+    tmp = jnp.where(jnp.abs(tmp) > 1e10, jnp.sign(tmp) * 1e10, tmp)
+    B = tan_t
+    D = jnp.sqrt(jnp.maximum(B * B * tmp * tmp - (A * A - B * B) * tmp, 0.0))
+    sx1 = B * tmp - D
+    sx2 = B * tmp + D
+    slope_x = jnp.where((A < 0.0) | (sx2 > 1.0 / jnp.maximum(tan_t, 1e-12)), sx1, sx2)
+
+    # Sample slope_y (microfacet.cpp:272-285).
+    s = jnp.where(u2 > 0.5, 1.0, -1.0)
+    u2r = jnp.where(u2 > 0.5, 2.0 * (u2 - 0.5), 2.0 * (0.5 - u2))
+    z = (
+        u2r
+        * (u2r * (u2r * 0.27385 - 0.73369) + 0.46341)
+    ) / (u2r * (u2r * (u2r * 0.093073 + 0.309420) - 1.000000) + 0.597999)
+    slope_y = s * z * jnp.sqrt(1.0 + slope_x * slope_x)
+
+    near_normal = cos_theta_in > 0.9999
+    return (
+        jnp.where(near_normal, slope_x_n, slope_x),
+        jnp.where(near_normal, slope_y_n, slope_y),
+    )
+
+
+def tr_sample_wh_visible(wo, u, ax, ay):
+    """TrowbridgeReitzSample (microfacet.cpp:292): visible-normal sampling."""
+    flip = cos_theta(wo) < 0.0
+    wo_f = jnp.where(flip[..., None], -wo, wo)
+    # Stretch wo.
+    wi_str = normalize(
+        vec(ax * wo_f[..., 0], ay * wo_f[..., 1], wo_f[..., 2])
+    )
+    sx, sy = _tr_sample_11(cos_theta(wi_str), u[..., 0], u[..., 1])
+    # Rotate.
+    cp = cos_phi(wi_str)
+    sp = sin_phi(wi_str)
+    tmp = cp * sx - sp * sy
+    sy = sp * sx + cp * sy
+    sx = tmp
+    # Unstretch.
+    sx = ax * sx
+    sy = ay * sy
+    wh = normalize(vec(-sx, -sy, jnp.ones_like(sx)))
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def tr_sample_wh_full(wo, u, ax, ay):
+    """Full-distribution sampling (microfacet.cpp:296-334, !sampleVisibleArea).
+    Isotropic branch only for now (anisotropic full-sampling is rare)."""
+    alpha = jnp.sqrt(ax * ay)
+    tan2 = alpha * alpha * u[..., 0] / jnp.maximum(1.0 - u[..., 0], 1e-12)
+    phi = (2.0 * jnp.pi) * u[..., 1]
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    wh = vec(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+    return jnp.where(same_hemisphere(wo, wh)[..., None], wh, -wh)
+
+
+def tr_pdf_visible(wo, wh, ax, ay):
+    """MicrofacetDistribution::Pdf, sampleVisibleArea=true (microfacet.cpp:336)."""
+    return (
+        tr_d(wh, ax, ay)
+        * tr_g1(wo, ax, ay)
+        * jnp.abs(dot(wo, wh))
+        / jnp.maximum(abs_cos_theta(wo), 1e-12)
+    )
+
+
+def beckmann_d(wh, ax, ay):
+    """BeckmannDistribution::D (microfacet.cpp:112)."""
+    t2 = tan2_theta(wh)
+    c4 = cos2_theta(wh) ** 2
+    d = jnp.exp(
+        -t2 * (cos_phi(wh) ** 2 / (ax * ax) + sin_phi(wh) ** 2 / (ay * ay))
+    ) / (jnp.pi * ax * ay * c4)
+    return jnp.where(jnp.isfinite(t2), d, 0.0)
+
+
+def beckmann_lambda(w, ax, ay):
+    """(microfacet.cpp:137) rational-polynomial approximation."""
+    abs_tan = jnp.abs(tan_theta(w))
+    alpha = jnp.sqrt(cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay)
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-12)
+    lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
+    lam = jnp.where(a >= 1.6, 0.0, lam)
+    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)

@@ -1,0 +1,95 @@
+"""Top-level render driver: RenderSetup -> image.
+
+Re-expression of pbrtWorldEnd's render kickoff (api.cpp:1590-1649) +
+RenderOptions::MakeIntegrator dispatch (api.cpp:1662-1697).
+"""
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from .sceneio import RenderSetup
+
+log = logging.getLogger("pbrt_tpu")
+
+
+def render_setup(setup: RenderSetup, spp_override=None, res_override=None):
+    """Build the scene + run the configured integrator.  Returns (img, stats)."""
+    scene = setup.build_scene()
+    film_cfg, filt = setup.make_film_config()
+    sampler_cfg = setup.make_sampler_config()
+    if res_override is not None:
+        import dataclasses
+
+        film_cfg = dataclasses.replace(film_cfg, full_resolution=tuple(res_override))
+        sampler_cfg = dataclasses.replace(
+            sampler_cfg, resolution=tuple(res_override)
+        )
+        setup.film_params._items["xresolution"] = ("integer", [res_override[0]])
+        setup.film_params._items["yresolution"] = ("integer", [res_override[1]])
+    if spp_override is not None:
+        import dataclasses
+
+        sampler_cfg = dataclasses.replace(sampler_cfg, spp=spp_override)
+
+    camera = setup.make_camera()
+    name = setup.integrator_name
+    t0 = time.time()
+    if name in ("path", "volpath"):
+        from .integrators import path as pt
+
+        cfg = setup.make_integrator_config()
+        img = pt.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+    elif name == "directlighting":
+        from .integrators import direct as dl
+        from .sceneio.paramset import ParamSet
+
+        p = setup.integrator_params or ParamSet()
+        cfg = dl.DirectLightingConfig(
+            max_depth=p.find_one_int("maxdepth", 5),
+            strategy=p.find_one_string("strategy", "all"),
+        )
+        img = dl.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+    elif name == "ao":
+        from .integrators import ao
+        from .sceneio.paramset import ParamSet
+
+        p = setup.integrator_params or ParamSet()
+        cfg = ao.AOConfig(
+            cos_sample=p.find_one_bool("cossample", True),
+            n_samples=p.find_one_int("nsamples", 64),
+        )
+        img = ao.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+    else:
+        raise ValueError(f"integrator {name!r} not supported yet")
+    img = np.asarray(img)
+    wall = time.time() - t0
+    w, h = film_cfg.full_resolution
+    n_rays = w * h * sampler_cfg.spp
+    stats = {
+        "wall_s": wall,
+        "camera_rays": n_rays,
+        "spp": sampler_cfg.spp,
+        "resolution": film_cfg.full_resolution,
+    }
+    return img, stats
+
+
+def render_file(path: str, out: str | None = None, spp=None, res=None):
+    from .sceneio import parse_pbrt_file
+    from .utils.imageio import write_image
+
+    setup = parse_pbrt_file(path)
+    img, stats = render_setup(setup, spp_override=spp, res_override=res)
+    if out is None:
+        from .sceneio.paramset import ParamSet
+
+        p = setup.film_params or ParamSet()
+        out = p.find_one_string("filename", "pbrt.pfm")
+        if out.endswith(".exr"):
+            out = out[:-4] + ".pfm"
+    write_image(out, img)
+    log.info("wrote %s (%.1fs)", out, stats["wall_s"])
+    return img, stats

@@ -1,0 +1,568 @@
+"""SceneArrays: the device-resident flattened scene, and its host assembler.
+
+TPU re-expression of pbrt's Scene/Primitive object graph (core/scene.h:50,
+core/primitive.h:52-130): every shared_ptr-of-virtual-class becomes a row in a
+SoA table, every polymorphic dispatch becomes a type-ID column.  The whole
+scene is one pytree of f32/i32 arrays living in HBM, replicated per chip
+(SURVEY.md P5).
+
+Primitive records are stored in BVH order (pbrt's orderedPrims), so BVH leaf
+offsets index them directly.
+
+`SceneBuilder` is the host-side assembler used both by tests (mirroring
+src/tests/analytic_scenes.cpp:58-92's parser-free construction) and by the
+.pbrt scene compiler in sceneio/.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core.pytree import pytree_dataclass, static_field
+from .core import transform as tf
+from .core import sampling as smp
+from .accel.build import build_bvh
+
+# Shape type ids (prim_type / light_shape_type)
+SHAPE_TRIANGLE = 0
+SHAPE_SPHERE = 1
+SHAPE_CYLINDER = 2
+SHAPE_DISK = 3
+
+# Light type ids (core/light.h:49 LightFlags taxonomy collapses into these)
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_DISTANT = 2
+LIGHT_AREA = 3
+LIGHT_INFINITE = 4
+LIGHT_PROJECTION = 5
+LIGHT_GONIO = 6
+
+# Material type ids (src/materials/)
+MAT_NONE = -1
+MAT_MATTE = 0
+MAT_PLASTIC = 1
+MAT_MIRROR = 2
+MAT_GLASS = 3
+MAT_METAL = 4
+MAT_SUBSTRATE = 5
+MAT_UBER = 6
+MAT_TRANSLUCENT = 7
+MAT_FOURIER = 8
+MAT_DISNEY = 9
+MAT_MIX = 10
+MAT_HAIR = 11
+
+
+@pytree_dataclass
+class MaterialTable:
+    """SoA material parameters.  Each spectral param is a constant RGB now;
+    texture indirection (tex id >= 0 overrides the constant) lands with the
+    texture subsystem."""
+
+    mat_type: jnp.ndarray  # [M] i32
+    kd: jnp.ndarray  # [M,3]
+    ks: jnp.ndarray  # [M,3]
+    kr: jnp.ndarray  # [M,3]
+    kt: jnp.ndarray  # [M,3]
+    sigma: jnp.ndarray  # [M] oren-nayar sigma (degrees)
+    roughness: jnp.ndarray  # [M]
+    urough: jnp.ndarray  # [M]
+    vrough: jnp.ndarray  # [M]
+    eta: jnp.ndarray  # [M]
+    metal_eta: jnp.ndarray  # [M,3]
+    metal_k: jnp.ndarray  # [M,3]
+    remap_roughness: jnp.ndarray  # [M] bool
+    # Texture indirection ids; -1 = use the constant column.
+    kd_tex: jnp.ndarray  # [M] i32
+    ks_tex: jnp.ndarray
+    sigma_tex: jnp.ndarray
+    rough_tex: jnp.ndarray
+    bump_tex: jnp.ndarray
+
+
+@pytree_dataclass
+class LightTable:
+    light_type: jnp.ndarray  # [L] i32
+    # Generic spectral payload: point/spot intensity I, distant L, area Lemit,
+    # infinite L scale.
+    L: jnp.ndarray  # [L,3]
+    pos: jnp.ndarray  # [L,3] world position (point/spot/projection/gonio)
+    dir: jnp.ndarray  # [L,3] direction (distant/spot axis)
+    cos_falloff_start: jnp.ndarray  # [L] spot
+    cos_falloff_end: jnp.ndarray  # [L] spot total width
+    shape_type: jnp.ndarray  # [L] i32 (area lights)
+    shape_idx: jnp.ndarray  # [L] i32 index into tri/quadric tables
+    two_sided: jnp.ndarray  # [L] bool
+    world_radius: jnp.ndarray  # [] scene bounding-sphere radius (distant/inf)
+    world_center: jnp.ndarray  # [3]
+    n_samples: jnp.ndarray  # [L] i32 (light "nsamples" hint)
+
+
+@pytree_dataclass
+class SceneArrays:
+    # ---- BVH (LinearBVHNode SoA, bvh.cpp:95-104) ----
+    bvh_min: jnp.ndarray  # [M,3]
+    bvh_max: jnp.ndarray  # [M,3]
+    bvh_offset: jnp.ndarray  # [M]
+    bvh_nprims: jnp.ndarray  # [M]
+    bvh_axis: jnp.ndarray  # [M]
+    # ---- primitive records, BVH-ordered ----
+    prim_type: jnp.ndarray  # [P]
+    prim_idx: jnp.ndarray  # [P]
+    prim_material: jnp.ndarray  # [P]
+    prim_arealight: jnp.ndarray  # [P] light index or -1
+    # ---- triangle meshes (merged pools) ----
+    tri_indices: jnp.ndarray  # [T,3] into vertex pool
+    tri_p: jnp.ndarray  # [V,3] world-space
+    tri_n: jnp.ndarray  # [V,3] shading normals (zeros if none)
+    tri_uv: jnp.ndarray  # [V,2]
+    tri_has_n: jnp.ndarray  # [T] bool
+    tri_has_uv: jnp.ndarray  # [T] bool
+    # ---- quadrics ----
+    q_type: jnp.ndarray  # [Q]
+    q_w2o: jnp.ndarray  # [Q,4,4]
+    q_o2w: jnp.ndarray  # [Q,4,4]
+    q_params: jnp.ndarray  # [Q,4] sphere/cyl: r, zmin, zmax, phimax; disk: r, inner_r, height, phimax
+    q_rev: jnp.ndarray  # [Q] bool: reverseorientation XOR swapshandedness
+    # ---- tables ----
+    materials: MaterialTable
+    lights: LightTable
+    light_distr: smp.Distribution1D  # light-picking PMF ("uniform"/"power")
+
+
+# ---------------------------------------------------------------------------
+# Host-side builder
+# ---------------------------------------------------------------------------
+
+_EMPTY44 = np.zeros((0, 4, 4), np.float32)
+
+
+@dataclasses.dataclass
+class _Prim:
+    shape_type: int
+    shape_idx: int
+    material: int
+    arealight: int
+    bmin: np.ndarray
+    bmax: np.ndarray
+
+
+class SceneBuilder:
+    """Accumulates shapes/materials/lights, then freezes into SceneArrays."""
+
+    def __init__(self):
+        self.prims: list[_Prim] = []
+        self.tri_indices: list[np.ndarray] = []
+        self.tri_p: list[np.ndarray] = []
+        self.tri_n: list[np.ndarray] = []
+        self.tri_uv: list[np.ndarray] = []
+        self.tri_has_n: list[np.ndarray] = []
+        self.tri_has_uv: list[np.ndarray] = []
+        self._n_verts = 0
+        self._n_tris = 0
+        self.quadrics: list[tuple] = []
+        self.materials: list[dict] = []
+        self.lights: list[dict] = []
+        self.light_strategy = "uniform"
+
+    # -- materials --
+    def add_material(self, mat_type: int = MAT_MATTE, **params) -> int:
+        defaults = dict(
+            kd=(0.5, 0.5, 0.5),
+            ks=(0.25, 0.25, 0.25),
+            kr=(0.9, 0.9, 0.9),
+            kt=(1.0, 1.0, 1.0),
+            sigma=0.0,
+            roughness=0.1,
+            urough=-1.0,
+            vrough=-1.0,
+            eta=1.5,
+            metal_eta=(0.2004, 0.9240, 1.1022),  # Cu (metal.cpp default)
+            metal_k=(3.9129, 2.4528, 2.1421),
+            remap_roughness=True,
+        )
+        defaults.update(params)
+        defaults["mat_type"] = mat_type
+        self.materials.append(defaults)
+        return len(self.materials) - 1
+
+    # -- shapes --
+    def add_triangle_mesh(
+        self,
+        indices: np.ndarray,
+        p: np.ndarray,
+        n: Optional[np.ndarray] = None,
+        uv: Optional[np.ndarray] = None,
+        object_to_world: Optional[tf.Transform] = None,
+        material: int = -1,
+        arealight: int = -1,
+    ) -> None:
+        """Vertices are transformed to world here (triangle.cpp:54)."""
+        indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        p = np.asarray(p, np.float32).reshape(-1, 3)
+        if object_to_world is not None and not object_to_world.is_identity():
+            p = object_to_world.apply_point(p).astype(np.float32)
+            if n is not None:
+                n = object_to_world.apply_normal(np.asarray(n, np.float32))
+                n = n / np.maximum(
+                    np.linalg.norm(n, axis=-1, keepdims=True), 1e-20
+                )
+        nv = p.shape[0]
+        nt = indices.shape[0]
+        has_n = n is not None
+        has_uv = uv is not None
+        self.tri_indices.append(indices + self._n_verts)
+        self.tri_p.append(p)
+        self.tri_n.append(
+            np.asarray(n, np.float32).reshape(-1, 3)
+            if has_n
+            else np.zeros((nv, 3), np.float32)
+        )
+        self.tri_uv.append(
+            np.asarray(uv, np.float32).reshape(-1, 2)
+            if has_uv
+            else np.zeros((nv, 2), np.float32)
+        )
+        self.tri_has_n.append(np.full(nt, has_n))
+        self.tri_has_uv.append(np.full(nt, has_uv))
+
+        tri_v = p[indices - 0]  # local indices
+        bmin = tri_v.min(1)
+        bmax = tri_v.max(1)
+        for k in range(nt):
+            self.prims.append(
+                _Prim(
+                    SHAPE_TRIANGLE,
+                    self._n_tris + k,
+                    material,
+                    arealight,
+                    bmin[k],
+                    bmax[k],
+                )
+            )
+        self._n_verts += nv
+        self._n_tris += nt
+
+    def add_quadric(
+        self,
+        q_type: int,
+        object_to_world: tf.Transform,
+        params,  # (radius, zmin, zmax, phimax) or disk (r, inner, height, phimax)
+        material: int = -1,
+        arealight: int = -1,
+        reverse_orientation: bool = False,
+    ) -> int:
+        qi = len(self.quadrics)
+        rev = bool(reverse_orientation) ^ object_to_world.swaps_handedness()
+        self.quadrics.append((q_type, object_to_world, np.asarray(params, np.float32), rev))
+        # Object bounds -> world bounds (conservative 8-corner transform).
+        r = float(params[0])
+        if q_type == SHAPE_SPHERE:
+            zmin, zmax = float(params[1]), float(params[2])
+            omin = np.array([-r, -r, zmin])
+            omax = np.array([r, r, zmax])
+        elif q_type == SHAPE_CYLINDER:
+            omin = np.array([-r, -r, float(params[1])])
+            omax = np.array([r, r, float(params[2])])
+        else:  # disk
+            h = float(params[2])
+            omin = np.array([-r, -r, h - 1e-4])
+            omax = np.array([r, r, h + 1e-4])
+        corners = np.array(
+            [
+                [x, y, z]
+                for x in (omin[0], omax[0])
+                for y in (omin[1], omax[1])
+                for z in (omin[2], omax[2])
+            ],
+            np.float32,
+        )
+        wc = object_to_world.apply_point(corners)
+        self.prims.append(
+            _Prim(q_type, qi, material, arealight, wc.min(0), wc.max(0))
+        )
+        return qi
+
+    def add_sphere(self, object_to_world, radius, material=-1, arealight=-1, **kw):
+        zmin = kw.get("zmin", -radius)
+        zmax = kw.get("zmax", radius)
+        phimax = np.deg2rad(kw.get("phimax_deg", 360.0))
+        return self.add_quadric(
+            SHAPE_SPHERE,
+            object_to_world,
+            (radius, zmin, zmax, phimax),
+            material,
+            arealight,
+            kw.get("reverse_orientation", False),
+        )
+
+    # -- lights --
+    def add_point_light(self, light_to_world: tf.Transform, intensity) -> int:
+        self.lights.append(
+            dict(
+                light_type=LIGHT_POINT,
+                L=np.asarray(intensity, np.float32),
+                pos=light_to_world.apply_point(np.zeros(3)).astype(np.float32),
+            )
+        )
+        return len(self.lights) - 1
+
+    def add_distant_light(self, direction, L) -> int:
+        d = np.asarray(direction, np.float32)
+        self.lights.append(
+            dict(
+                light_type=LIGHT_DISTANT,
+                L=np.asarray(L, np.float32),
+                dir=d / np.linalg.norm(d),
+            )
+        )
+        return len(self.lights) - 1
+
+    def add_spot_light(
+        self, light_to_world: tf.Transform, intensity, cone_angle_deg=30.0,
+        cone_delta_deg=5.0,
+    ) -> int:
+        pos = light_to_world.apply_point(np.zeros(3)).astype(np.float32)
+        axis = light_to_world.apply_vector(np.array([0.0, 0.0, 1.0]))
+        axis = axis / np.linalg.norm(axis)
+        self.lights.append(
+            dict(
+                light_type=LIGHT_SPOT,
+                L=np.asarray(intensity, np.float32),
+                pos=pos,
+                dir=axis.astype(np.float32),
+                cos_falloff_start=float(
+                    np.cos(np.deg2rad(cone_angle_deg - cone_delta_deg))
+                ),
+                cos_falloff_end=float(np.cos(np.deg2rad(cone_angle_deg))),
+            )
+        )
+        return len(self.lights) - 1
+
+    def add_area_light_handle(self, L, shape_type, shape_idx, two_sided=False, n_samples=1) -> int:
+        """Registered by add_* shape helpers for emissive shapes
+        (lights/diffuse.cpp DiffuseAreaLight: one light per shape)."""
+        self.lights.append(
+            dict(
+                light_type=LIGHT_AREA,
+                L=np.asarray(L, np.float32),
+                shape_type=shape_type,
+                shape_idx=shape_idx,
+                two_sided=two_sided,
+                n_samples=n_samples,
+            )
+        )
+        return len(self.lights) - 1
+
+    def add_emissive_sphere(
+        self, object_to_world, radius, L, material=-1, two_sided=False, n_samples=1
+    ):
+        qi = len(self.quadrics)
+        li = self.add_area_light_handle(L, SHAPE_SPHERE, qi, two_sided, n_samples)
+        self.add_sphere(object_to_world, radius, material=material, arealight=li)
+        return li
+
+    def add_emissive_triangle_mesh(
+        self, indices, p, L, material=-1, object_to_world=None, two_sided=False,
+        n_samples=1, n=None, uv=None,
+    ):
+        """One DiffuseAreaLight per triangle (api.cpp:1385-1407 semantics)."""
+        first_tri = self._n_tris
+        indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        first_light = len(self.lights)
+        for k in range(indices.shape[0]):
+            self.add_area_light_handle(L, SHAPE_TRIANGLE, first_tri + k, two_sided, n_samples)
+        # arealight index per triangle assigned after mesh add:
+        self.add_triangle_mesh(
+            indices, p, n=n, uv=uv, object_to_world=object_to_world,
+            material=material, arealight=-2,  # placeholder, fixed below
+        )
+        # Fix per-triangle light ids on the just-added prims.
+        for k in range(indices.shape[0]):
+            self.prims[-indices.shape[0] + k].arealight = first_light + k
+        return first_light
+
+    # -- freeze --
+    def build(self, max_prims_in_node: int = 4) -> SceneArrays:
+        assert self.prims, "scene has no primitives"
+        bmin = np.stack([pr.bmin for pr in self.prims]).astype(np.float32)
+        bmax = np.stack([pr.bmax for pr in self.prims]).astype(np.float32)
+        bvh = build_bvh(bmin, bmax, max_prims_in_node)
+
+        order = bvh.order
+        prim_type = np.array([self.prims[i].shape_type for i in order], np.int32)
+        prim_idx = np.array([self.prims[i].shape_idx for i in order], np.int32)
+        prim_material = np.array([self.prims[i].material for i in order], np.int32)
+        prim_arealight = np.array([self.prims[i].arealight for i in order], np.int32)
+
+        if self.tri_indices:
+            tri_indices = np.concatenate(self.tri_indices)
+            tri_p = np.concatenate(self.tri_p)
+            tri_n = np.concatenate(self.tri_n)
+            tri_uv = np.concatenate(self.tri_uv)
+            tri_has_n = np.concatenate(self.tri_has_n)
+            tri_has_uv = np.concatenate(self.tri_has_uv)
+        else:
+            tri_indices = np.zeros((1, 3), np.int32)
+            tri_p = np.zeros((3, 3), np.float32)
+            tri_n = np.zeros((3, 3), np.float32)
+            tri_uv = np.zeros((3, 2), np.float32)
+            tri_has_n = np.zeros(1, bool)
+            tri_has_uv = np.zeros(1, bool)
+
+        if self.quadrics:
+            q_type = np.array([q[0] for q in self.quadrics], np.int32)
+            q_o2w = np.stack([q[1].m for q in self.quadrics]).astype(np.float32)
+            q_w2o = np.stack([q[1].m_inv for q in self.quadrics]).astype(np.float32)
+            q_params = np.stack([q[2] for q in self.quadrics]).astype(np.float32)
+            q_rev = np.array([q[3] for q in self.quadrics], bool)
+        else:
+            q_type = np.zeros(1, np.int32)
+            q_o2w = np.eye(4, dtype=np.float32)[None]
+            q_w2o = np.eye(4, dtype=np.float32)[None]
+            q_params = np.ones((1, 4), np.float32)
+            q_rev = np.zeros(1, bool)
+
+        materials = self._build_materials()
+        lights, light_distr = self._build_lights(bmin, bmax)
+
+        return SceneArrays(
+            bvh_min=jnp.asarray(bvh.nodes_min),
+            bvh_max=jnp.asarray(bvh.nodes_max),
+            bvh_offset=jnp.asarray(bvh.offset),
+            bvh_nprims=jnp.asarray(bvh.n_prims),
+            bvh_axis=jnp.asarray(bvh.axis),
+            prim_type=jnp.asarray(prim_type),
+            prim_idx=jnp.asarray(prim_idx),
+            prim_material=jnp.asarray(prim_material),
+            prim_arealight=jnp.asarray(prim_arealight),
+            tri_indices=jnp.asarray(tri_indices),
+            tri_p=jnp.asarray(tri_p),
+            tri_n=jnp.asarray(tri_n),
+            tri_uv=jnp.asarray(tri_uv),
+            tri_has_n=jnp.asarray(tri_has_n),
+            tri_has_uv=jnp.asarray(tri_has_uv),
+            q_type=jnp.asarray(q_type),
+            q_w2o=jnp.asarray(q_w2o),
+            q_o2w=jnp.asarray(q_o2w),
+            q_params=jnp.asarray(q_params),
+            q_rev=jnp.asarray(q_rev),
+            materials=materials,
+            lights=lights,
+            light_distr=light_distr,
+        )
+
+    def _build_materials(self) -> MaterialTable:
+        mats = self.materials or [dict(mat_type=MAT_MATTE, kd=(0.5, 0.5, 0.5),
+                                       ks=(0.25,) * 3, kr=(0.9,) * 3, kt=(1.0,) * 3,
+                                       sigma=0.0, roughness=0.1, urough=-1.0,
+                                       vrough=-1.0, eta=1.5,
+                                       metal_eta=(0.2, 0.92, 1.1),
+                                       metal_k=(3.9, 2.45, 2.14),
+                                       remap_roughness=True)]
+
+        def col(key, shape=None):
+            vals = [m.get(key) for m in mats]
+            return np.asarray(vals, np.float32)
+
+        neg1 = np.full(len(mats), -1, np.int32)
+        return MaterialTable(
+            mat_type=jnp.asarray(np.array([m["mat_type"] for m in mats], np.int32)),
+            kd=jnp.asarray(col("kd")),
+            ks=jnp.asarray(col("ks")),
+            kr=jnp.asarray(col("kr")),
+            kt=jnp.asarray(col("kt")),
+            sigma=jnp.asarray(col("sigma")),
+            roughness=jnp.asarray(col("roughness")),
+            urough=jnp.asarray(col("urough")),
+            vrough=jnp.asarray(col("vrough")),
+            eta=jnp.asarray(col("eta")),
+            metal_eta=jnp.asarray(col("metal_eta")),
+            metal_k=jnp.asarray(col("metal_k")),
+            remap_roughness=jnp.asarray(
+                np.array([bool(m["remap_roughness"]) for m in mats])
+            ),
+            kd_tex=jnp.asarray(neg1),
+            ks_tex=jnp.asarray(neg1),
+            sigma_tex=jnp.asarray(neg1),
+            rough_tex=jnp.asarray(neg1),
+            bump_tex=jnp.asarray(neg1),
+        )
+
+    def _light_power(self, li: dict, world_radius: float) -> float:
+        """Approximate emitted power for the 'power' strategy
+        (integrator.cpp:217 ComputeLightPowerDistribution)."""
+        L = np.asarray(li["L"], np.float64)
+        y = float(0.212671 * L[0] + 0.715160 * L[1] + 0.072169 * L[2])
+        t = li["light_type"]
+        if t == LIGHT_POINT:
+            return 4.0 * np.pi * y
+        if t == LIGHT_SPOT:
+            return 2.0 * np.pi * y * (
+                1.0 - 0.5 * (li["cos_falloff_start"] + li["cos_falloff_end"])
+            )
+        if t == LIGHT_DISTANT:
+            return y * np.pi * world_radius**2
+        if t == LIGHT_AREA:
+            if li["shape_type"] == SHAPE_SPHERE:
+                r = float(self.quadrics[li["shape_idx"]][2][0])
+                area = 4.0 * np.pi * r * r
+            else:
+                k = li["shape_idx"]
+                idx = None
+                # Find the triangle in the merged pool.
+                tri_indices = np.concatenate(self.tri_indices)
+                tri_p = np.concatenate(self.tri_p)
+                v = tri_p[tri_indices[k]]
+                area = 0.5 * np.linalg.norm(
+                    np.cross(v[1] - v[0], v[2] - v[0])
+                )
+            return (2.0 if li.get("two_sided") else 1.0) * y * area * np.pi
+        return y
+
+    def _build_lights(self, bmin, bmax):
+        center = 0.5 * (bmin.min(0) + bmax.max(0))
+        radius = float(np.linalg.norm(bmax.max(0) - center))
+        lights = self.lights or [dict(light_type=LIGHT_POINT, L=(0.0, 0.0, 0.0), pos=(0, 0, 0))]
+
+        def col(key, default, shape=()):
+            out = []
+            for li in lights:
+                out.append(li.get(key, default))
+            return np.asarray(out)
+
+        table = LightTable(
+            light_type=jnp.asarray(col("light_type", LIGHT_POINT).astype(np.int32)),
+            L=jnp.asarray(col("L", (0.0, 0.0, 0.0)).astype(np.float32)),
+            pos=jnp.asarray(col("pos", (0.0, 0.0, 0.0)).astype(np.float32)),
+            dir=jnp.asarray(col("dir", (0.0, 0.0, 1.0)).astype(np.float32)),
+            cos_falloff_start=jnp.asarray(
+                col("cos_falloff_start", 1.0).astype(np.float32)
+            ),
+            cos_falloff_end=jnp.asarray(
+                col("cos_falloff_end", 0.0).astype(np.float32)
+            ),
+            shape_type=jnp.asarray(col("shape_type", -1).astype(np.int32)),
+            shape_idx=jnp.asarray(col("shape_idx", -1).astype(np.int32)),
+            two_sided=jnp.asarray(col("two_sided", False).astype(bool)),
+            world_radius=jnp.float32(max(radius, 1e-3)),
+            world_center=jnp.asarray(center.astype(np.float32)),
+            n_samples=jnp.asarray(col("n_samples", 1).astype(np.int32)),
+        )
+        if self.light_strategy == "power" and self.lights:
+            powers = np.array(
+                [self._light_power(li, radius) for li in lights], np.float64
+            )
+            if powers.sum() <= 0:
+                powers = np.ones(len(lights))
+        else:
+            powers = np.ones(len(lights))
+        return table, smp.build_distribution_1d(powers)
+
+
+def n_lights(scene: SceneArrays) -> int:
+    return scene.lights.light_type.shape[0]

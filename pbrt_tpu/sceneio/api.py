@@ -1,0 +1,515 @@
+"""Graphics-state machine: .pbrt directives -> SceneBuilder + render config.
+
+Host-side re-expression of core/api.cpp: the options/world two-phase state
+machine (api.cpp:381-410 VERIFY guards), CTM stack ops (api.cpp:899-1019),
+attribute/transform stacks (api.cpp:1128-1186), graphics state with current
+material / area-light / reverse-orientation (api.cpp:201-240), and the
+factory dispatch MakeShapes/MakeMaterial/MakeLight/... (api.cpp:426-868) —
+emitting flattened SceneArrays input instead of a shared_ptr object graph.
+
+Output: `RenderSetup` — everything needed to call integrators.render().
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+import logging
+
+import numpy as np
+
+from ..core import transform as tf
+from .. import scene as sc
+from .paramset import ParamSet, TextureParams
+
+log = logging.getLogger("pbrt_tpu")
+
+
+@dataclasses.dataclass
+class RenderSetup:
+    scene_builder: sc.SceneBuilder
+    camera_name: str = "perspective"
+    camera_params: ParamSet = None
+    camera_to_world: tf.Transform = None
+    film_name: str = "image"
+    film_params: ParamSet = None
+    sampler_name: str = "halton"
+    sampler_params: ParamSet = None
+    integrator_name: str = "path"
+    integrator_params: ParamSet = None
+    filter_name: str = "box"
+    filter_params: ParamSet = None
+
+    _scene_cache: object = None
+
+    def build_scene(self):
+        if self._scene_cache is None:
+            self._scene_cache = self.scene_builder.build()
+        return self._scene_cache
+
+    @property
+    def resolution(self):
+        p = self.film_params or ParamSet()
+        return (
+            p.find_one_int("xresolution", 1280),
+            p.find_one_int("yresolution", 720),
+        )
+
+    def make_camera(self):
+        from ..cameras import (
+            make_perspective_camera,
+            make_orthographic_camera,
+            make_environment_camera,
+        )
+
+        p = self.camera_params or ParamSet()
+        res = self.resolution
+        c2w = self.camera_to_world or tf.identity()
+        common = dict(
+            shutter_open=p.find_one_float("shutteropen", 0.0),
+            shutter_close=p.find_one_float("shutterclose", 1.0),
+        )
+        if self.camera_name == "perspective":
+            return make_perspective_camera(
+                c2w,
+                res,
+                fov_deg=p.find_one_float("fov", 90.0),
+                lens_radius=p.find_one_float("lensradius", 0.0),
+                focal_distance=p.find_one_float("focaldistance", 1e6),
+                **common,
+            )
+        if self.camera_name == "orthographic":
+            return make_orthographic_camera(
+                c2w,
+                res,
+                lens_radius=p.find_one_float("lensradius", 0.0),
+                focal_distance=p.find_one_float("focaldistance", 1e6),
+                **common,
+            )
+        if self.camera_name == "environment":
+            return make_environment_camera(c2w, res, **common)
+        raise ValueError(f"camera {self.camera_name!r} not supported yet")
+
+    def make_film_config(self):
+        from ..film import FilmConfig
+        from ..filters import make_filter
+
+        p = self.film_params or ParamSet()
+        fp = self.filter_params or ParamSet()
+        fparams = {k: fp.find_one_float(k, None) for k in fp.keys()} if fp else {}
+        fparams = {k: v for k, v in fparams.items() if v is not None}
+        filt = make_filter(self.filter_name, fparams)
+        crop = p.find_floats("cropwindow")
+        cfg = FilmConfig(
+            full_resolution=self.resolution,
+            crop_window=tuple(crop) if crop is not None else (0.0, 1.0, 0.0, 1.0),
+            filter_name=self.filter_name,
+            filter_radius=filt.radius,
+            scale=p.find_one_float("scale", 1.0),
+            max_sample_luminance=p.find_one_float("maxsampleluminance", float("inf")),
+        )
+        return cfg, filt
+
+    def make_sampler_config(self):
+        from ..samplers.samplers import SamplerConfig
+
+        p = self.sampler_params or ParamSet()
+        name = {"lowdiscrepancy": "zerotwosequence"}.get(
+            self.sampler_name, self.sampler_name
+        )
+        spp = p.find_one_int("pixelsamples", 16)
+        return SamplerConfig(name, spp, self.resolution)
+
+    def make_integrator_config(self):
+        from ..integrators.path import PathConfig
+
+        p = self.integrator_params or ParamSet()
+        return PathConfig(
+            max_depth=p.find_one_int("maxdepth", 5),
+            rr_threshold=p.find_one_float("rrthreshold", 1.0),
+            light_strategy=p.find_one_string("lightsamplestrategy", "spatial"),
+        )
+
+
+@dataclasses.dataclass
+class _GraphicsState:
+    material: int = -1  # index into builder.materials
+    material_params: ParamSet = dataclasses.field(default_factory=ParamSet)
+    area_light: ParamSet | None = None
+    reverse_orientation: bool = False
+    float_textures: dict = dataclasses.field(default_factory=dict)
+    spectrum_textures: dict = dataclasses.field(default_factory=dict)
+    named_materials: dict = dataclasses.field(default_factory=dict)
+
+
+STATE_OPTIONS = 0
+STATE_WORLD = 1
+
+
+class PbrtApi:
+    """One parse session.  Method names are snake_cased directives."""
+
+    def __init__(self):
+        self.setup = RenderSetup(scene_builder=sc.SceneBuilder())
+        self.ctm = tf.identity()
+        self.named_coordinate_systems: dict = {}
+        self.ctm_stack: list = []
+        self.gs = _GraphicsState()
+        self.gs_stack: list = []
+        self.state = STATE_OPTIONS
+        self.objects: dict = {}  # ObjectBegin instancing
+        self.current_object: str | None = None
+        # Default material: matte (api.cpp GraphicsState ctor).
+        self.gs.material = self.setup.scene_builder.add_material(
+            sc.MAT_MATTE, kd=(0.5, 0.5, 0.5)
+        )
+
+    # ---- transforms (api.cpp:899-1019) ----
+    def identity(self):
+        self.ctm = tf.identity()
+
+    def translate(self, x, y, z):
+        self.ctm = self.ctm @ tf.translate(x, y, z)
+
+    def scale(self, x, y, z):
+        self.ctm = self.ctm @ tf.scale(x, y, z)
+
+    def rotate(self, a, x, y, z):
+        self.ctm = self.ctm @ tf.rotate(a, x, y, z)
+
+    def look_at(self, *v):
+        la = tf.look_at(v[0:3], v[3:6], v[6:9])
+        self.ctm = self.ctm @ la.inverse
+
+    def transform(self, *m):
+        self.ctm = tf.from_matrix(np.asarray(m).reshape(4, 4).T)
+
+    def concat_transform(self, *m):
+        self.ctm = self.ctm @ tf.from_matrix(np.asarray(m).reshape(4, 4).T)
+
+    def transform_times(self, start, end):
+        pass  # animated transforms: motion blur lands later
+
+    def active_transform(self, which):
+        pass
+
+    def coordinate_system(self, name, params=None):
+        self.named_coordinate_systems[name] = self.ctm
+
+    def coord_sys_transform(self, name, params=None):
+        if name in self.named_coordinate_systems:
+            self.ctm = self.named_coordinate_systems[name]
+
+    # ---- options directives ----
+    def camera(self, name, params):
+        self.setup.camera_name = name
+        self.setup.camera_params = ParamSet.from_decls(params)
+        self.setup.camera_to_world = self.ctm.inverse
+        self.named_coordinate_systems["camera"] = self.ctm.inverse
+
+    def film(self, name, params):
+        self.setup.film_name = name
+        self.setup.film_params = ParamSet.from_decls(params)
+
+    def sampler(self, name, params):
+        self.setup.sampler_name = name
+        self.setup.sampler_params = ParamSet.from_decls(params)
+
+    def integrator(self, name, params):
+        self.setup.integrator_name = name
+        self.setup.integrator_params = ParamSet.from_decls(params)
+
+    def filter(self, name, params):
+        self.setup.filter_name = name
+        self.setup.filter_params = ParamSet.from_decls(params)
+
+    pixel_filter = filter
+
+    def accelerator(self, name, params):
+        pass  # BVH always; kdtree parity later
+
+    # ---- world block ----
+    def world_begin(self):
+        self.state = STATE_WORLD
+        self.ctm = tf.identity()
+        self.named_coordinate_systems["world"] = self.ctm
+
+    def world_end(self):
+        pass
+
+    def attribute_begin(self):
+        self.gs_stack.append(copy.deepcopy(self.gs))
+        self.ctm_stack.append(self.ctm)
+
+    def attribute_end(self):
+        self.gs = self.gs_stack.pop()
+        self.ctm = self.ctm_stack.pop()
+
+    def transform_begin(self):
+        self.ctm_stack.append(self.ctm)
+
+    def transform_end(self):
+        self.ctm = self.ctm_stack.pop()
+
+    def reverse_orientation(self):
+        self.gs.reverse_orientation = not self.gs.reverse_orientation
+
+    # ---- content ----
+    def texture(self, name, ttype, tclass, params):
+        ps = ParamSet.from_decls(params)
+        tex = {"class": tclass, "params": ps}
+        if ttype == "float":
+            self.gs.float_textures[name] = tex
+        else:
+            self.gs.spectrum_textures[name] = tex
+
+    def material(self, name, params):
+        ps = ParamSet.from_decls(params)
+        self.gs.material = self._make_material(name, ps)
+        self.gs.material_params = ps
+
+    def make_named_material(self, name, params):
+        ps = ParamSet.from_decls(params)
+        mtype = ps.find_one_string("type", "matte")
+        self.gs.named_materials[name] = self._make_material(mtype, ps)
+
+    def named_material(self, name, params=None):
+        if name in self.gs.named_materials:
+            self.gs.material = self.gs.named_materials[name]
+        else:
+            log.warning("named material %r unknown", name)
+
+    def _make_material(self, name, ps: ParamSet) -> int:
+        """MakeMaterial factory (api.cpp:560-640)."""
+        b = self.setup.scene_builder
+        kw = {}
+        if name in ("", "none"):
+            return -1
+        if name == "matte":
+            mt = sc.MAT_MATTE
+            kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
+            kw["sigma"] = ps.find_one_float("sigma", 0.0)
+        elif name == "plastic":
+            mt = sc.MAT_PLASTIC
+            kw["kd"] = ps.find_one_spectrum("Kd", 0.25)
+            kw["ks"] = ps.find_one_spectrum("Ks", 0.25)
+            kw["roughness"] = ps.find_one_float("roughness", 0.1)
+            kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
+        elif name == "mirror":
+            mt = sc.MAT_MIRROR
+            kw["kr"] = ps.find_one_spectrum("Kr", 0.9)
+        elif name == "glass":
+            mt = sc.MAT_GLASS
+            kw["kr"] = ps.find_one_spectrum("Kr", 1.0)
+            kw["kt"] = ps.find_one_spectrum("Kt", 1.0)
+            kw["eta"] = ps.find_one_float("eta", ps.find_one_float("index", 1.5))
+            kw["roughness"] = ps.find_one_float("uroughness", 0.0)
+        elif name == "metal":
+            mt = sc.MAT_METAL
+            kw["metal_eta"] = ps.find_one_spectrum("eta", (0.2004, 0.9240, 1.1022))
+            kw["metal_k"] = ps.find_one_spectrum("k", (3.9129, 2.4528, 2.1421))
+            kw["roughness"] = ps.find_one_float("roughness", 0.01)
+            kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
+        elif name == "uber":
+            mt = sc.MAT_UBER
+            kw["kd"] = ps.find_one_spectrum("Kd", 0.25)
+            kw["ks"] = ps.find_one_spectrum("Ks", 0.25)
+            kw["kr"] = ps.find_one_spectrum("Kr", 0.0)
+            kw["kt"] = ps.find_one_spectrum("Kt", 0.0)
+            kw["roughness"] = ps.find_one_float("roughness", 0.1)
+            kw["eta"] = ps.find_one_float("eta", 1.5)
+        elif name == "substrate":
+            mt = sc.MAT_SUBSTRATE
+            kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
+            kw["ks"] = ps.find_one_spectrum("Ks", 0.5)
+            kw["roughness"] = ps.find_one_float("uroughness", 0.1)
+        else:
+            log.warning("material %r not yet supported; using matte", name)
+            mt = sc.MAT_MATTE
+            kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
+        return b.add_material(mt, **kw)
+
+    def light_source(self, name, params):
+        ps = ParamSet.from_decls(params)
+        b = self.setup.scene_builder
+        if name == "point":
+            i = np.asarray(ps.find_one_spectrum("I", 1.0)) * np.asarray(
+                ps.find_one_spectrum("scale", 1.0)
+            )
+            from_p = ps.find_one_point("from", (0, 0, 0))
+            l2w = self.ctm @ tf.translate(*from_p)
+            b.add_point_light(l2w, i)
+        elif name == "distant":
+            L = np.asarray(ps.find_one_spectrum("L", 1.0)) * np.asarray(
+                ps.find_one_spectrum("scale", 1.0)
+            )
+            from_p = ps.find_one_point("from", (0, 0, 0))
+            to_p = ps.find_one_point("to", (0, 0, 1))
+            w = self.ctm.apply_vector(from_p - to_p)
+            b.add_distant_light(w, L)
+        elif name == "spot":
+            i = np.asarray(ps.find_one_spectrum("I", 1.0)) * np.asarray(
+                ps.find_one_spectrum("scale", 1.0)
+            )
+            b.add_spot_light(
+                self.ctm,
+                i,
+                cone_angle_deg=ps.find_one_float("coneangle", 30.0),
+                cone_delta_deg=ps.find_one_float("conedeltaangle", 5.0),
+            )
+        elif name == "infinite":
+            L = np.asarray(ps.find_one_spectrum("L", 1.0)) * np.asarray(
+                ps.find_one_spectrum("scale", 1.0)
+            )
+            mapname = ps.find_one_string("mapname", "")
+            b.lights.append(
+                dict(light_type=sc.LIGHT_INFINITE, L=L.astype(np.float32),
+                     mapname=mapname)
+            )
+        else:
+            log.warning("light %r not yet supported", name)
+        ps.report_unused(f"LightSource {name}")
+
+    def area_light_source(self, name, params):
+        self.gs.area_light = ParamSet.from_decls(params)
+
+    def shape(self, name, params):
+        ps = ParamSet.from_decls(params)
+        b = self.setup.scene_builder
+        mat = self.gs.material
+        o2w = self.ctm
+        if self.current_object is not None:
+            self.objects[self.current_object].append((name, ps, o2w, mat,
+                                                      copy.deepcopy(self.gs)))
+            return
+        self._create_shape(name, ps, o2w, mat, self.gs)
+
+    def _create_shape(self, name, ps, o2w, mat, gs):
+        b = self.setup.scene_builder
+        area = gs.area_light
+        if name == "trianglemesh":
+            idx = ps.find_ints("indices")
+            p = ps.find_points("P")
+            n = ps.find_points("N")
+            uv = ps.find_point2s("uv")
+            if uv is None:
+                uv = ps.find_point2s("st")
+            if area is not None:
+                L = np.asarray(area.find_one_spectrum("L", 1.0)) * np.asarray(
+                    area.find_one_spectrum("scale", 1.0)
+                )
+                b.add_emissive_triangle_mesh(
+                    idx, p, L, material=mat, object_to_world=o2w,
+                    two_sided=area.find_one_bool("twosided", False),
+                    n_samples=area.find_one_int("samples",
+                                                area.find_one_int("nsamples", 1)),
+                    n=n, uv=uv,
+                )
+            else:
+                b.add_triangle_mesh(
+                    idx, p, n=n, uv=uv, object_to_world=o2w, material=mat
+                )
+        elif name == "sphere":
+            r = ps.find_one_float("radius", 1.0)
+            zmin = ps.find_one_float("zmin", -r)
+            zmax = ps.find_one_float("zmax", r)
+            phimax = ps.find_one_float("phimax", 360.0)
+            if area is not None:
+                L = np.asarray(area.find_one_spectrum("L", 1.0)) * np.asarray(
+                    area.find_one_spectrum("scale", 1.0)
+                )
+                b.add_emissive_sphere(
+                    o2w, r, L, material=mat,
+                    two_sided=area.find_one_bool("twosided", False),
+                    n_samples=area.find_one_int("samples",
+                                                area.find_one_int("nsamples", 1)),
+                )
+            else:
+                b.add_sphere(
+                    o2w, r, material=mat, zmin=zmin, zmax=zmax,
+                    phimax_deg=phimax,
+                    reverse_orientation=gs.reverse_orientation,
+                )
+        elif name == "disk":
+            r = ps.find_one_float("radius", 1.0)
+            ir = ps.find_one_float("innerradius", 0.0)
+            h = ps.find_one_float("height", 0.0)
+            phimax = np.deg2rad(ps.find_one_float("phimax", 360.0))
+            b.add_quadric(
+                sc.SHAPE_DISK, o2w, (r, ir, h, phimax), mat,
+                -1, gs.reverse_orientation,
+            )
+        elif name == "cylinder":
+            r = ps.find_one_float("radius", 1.0)
+            zmin = ps.find_one_float("zmin", -1.0)
+            zmax = ps.find_one_float("zmax", 1.0)
+            phimax = np.deg2rad(ps.find_one_float("phimax", 360.0))
+            b.add_quadric(
+                sc.SHAPE_CYLINDER, o2w, (r, zmin, zmax, phimax), mat,
+                -1, gs.reverse_orientation,
+            )
+        elif name == "loopsubdiv":
+            from ..shapes.loopsubdiv import loop_subdivide
+
+            nlev = ps.find_one_int("levels", ps.find_one_int("nlevels", 3))
+            idx = ps.find_ints("indices")
+            p = ps.find_points("P")
+            idx2, p2, n2 = loop_subdivide(idx, p, nlev)
+            b.add_triangle_mesh(idx2, p2, n=n2, object_to_world=o2w, material=mat)
+        elif name == "heightfield":
+            # heightfield.cpp: nu x nv grid of z values -> triangle mesh.
+            nu = ps.find_one_int("nu", 0)
+            nv = ps.find_one_int("nv", 0)
+            z = ps.find_floats("Pz")
+            xs, ys = np.meshgrid(
+                np.linspace(0, 1, nu), np.linspace(0, 1, nv)
+            )
+            p = np.stack([xs.ravel(), ys.ravel(), np.asarray(z)], -1)
+            quad_i, quad_j = np.meshgrid(
+                np.arange(nu - 1), np.arange(nv - 1), indexing="xy"
+            )
+            v00 = (quad_j * nu + quad_i).ravel()
+            v10 = v00 + 1
+            v01 = v00 + nu
+            v11 = v01 + 1
+            idx = np.concatenate(
+                [
+                    np.stack([v00, v10, v11], -1),
+                    np.stack([v00, v11, v01], -1),
+                ]
+            )
+            uv = np.stack([xs.ravel(), ys.ravel()], -1)
+            b.add_triangle_mesh(idx, p, uv=uv, object_to_world=o2w, material=mat)
+        elif name == "plymesh":
+            from .plyload import load_ply
+
+            fname = ps.find_one_string("filename", "")
+            idx, p, n, uv = load_ply(fname)
+            b.add_triangle_mesh(idx, p, n=n, uv=uv, object_to_world=o2w, material=mat)
+        else:
+            log.warning("shape %r not yet supported; skipped", name)
+
+    # ---- instancing (api.cpp:1520-1588) ----
+    def object_begin(self, name, params=None):
+        self.attribute_begin()
+        self.objects[name] = []
+        self.current_object = name
+
+    def object_end(self):
+        self.current_object = None
+        self.attribute_end()
+
+    def object_instance(self, name, params=None):
+        """Instances are flattened at compile time: shapes re-added under the
+        instance CTM (TransformedPrimitive re-expression — no runtime
+        indirection; vertices are duplicated per instance)."""
+        for shape_name, ps, o2w, mat, gs in self.objects.get(name, []):
+            self._create_shape(shape_name, ps, self.ctm @ o2w, mat, gs)
+
+    def medium_interface(self, inside, outside):
+        log.warning("MediumInterface: media land with the volpath integrator")
+
+    def make_named_medium(self, name, params):
+        log.warning("MakeNamedMedium: media land with the volpath integrator")
+
+    def finalize(self) -> RenderSetup:
+        return self.setup

@@ -1,0 +1,47 @@
+"""Render checkpoint/resume.
+
+The reference has none (film written once at the end, integrator.cpp:338;
+SURVEY.md §5.4) — this is the TPU-native preemption story it lacks: the film
+accumulator + next sample index are the *only* render state (samplers are
+pure functions of (pixel, sampleNum)), so a checkpoint is one npz every K
+sample batches and resume continues at the saved sample index.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import film as fm
+
+
+def save(path: str, film_state: fm.FilmState, next_sample: int):
+    tmp = path + ".tmp"
+    np.savez(
+        tmp,
+        weighted_sum=np.asarray(film_state.weighted_sum),
+        weight_sum=np.asarray(film_state.weight_sum),
+        splat=np.asarray(film_state.splat),
+        next_sample=np.int64(next_sample),
+    )
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load(path: str, film_state: fm.FilmState):
+    """Restore into an existing film state (keeps static config fields).
+    Returns (film_state, next_sample)."""
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    fs = film_state.replace(
+        weighted_sum=jnp.asarray(z["weighted_sum"]),
+        weight_sum=jnp.asarray(z["weight_sum"]),
+        splat=jnp.asarray(z["splat"]),
+    )
+    return fs, int(z["next_sample"])
+
+
+def maybe_resume(path: str, film_state: fm.FilmState):
+    if path and os.path.exists(path):
+        return load(path, film_state)
+    return film_state, 0
