@@ -51,24 +51,17 @@ def main():
     scene, camera = build_scene()
 
     from pbrt_tpu.samplers.samplers import SamplerConfig
-    from pbrt_tpu.integrators.path import (
-        PathConfig, make_pixel_grid, material_types_present,
-    )
-    from pbrt_tpu.integrators.common import light_types_present
-    from pbrt_tpu.accel.traverse import scene_quadric_types
-    from pbrt_tpu.parallel.diff import render_batch_radiance
+    from pbrt_tpu.integrators.path import PathConfig, make_pixel_grid, li_path
+    from pbrt_tpu.statics import scene_statics
     from pbrt_tpu import film as fm
     from pbrt_tpu.samplers import samplers as sa
-    from pbrt_tpu.integrators.path import li_path
     from pbrt_tpu.cameras import generate_rays
 
     film_cfg = fm.FilmConfig(full_resolution=RES)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
     sampler_cfg = SamplerConfig("sobol", SPP, RES)
     cfg = PathConfig(max_depth=5)
-    mat_types = material_types_present(scene)
-    light_types = light_types_present(scene)
-    quadric_types = scene_quadric_types(scene)
+    statics = scene_statics(scene)
 
     def batch(scene, camera, pixels, s):
         n = pixels.shape[0]
@@ -76,8 +69,7 @@ def main():
         p_film, time_u, p_lens = sa.get_camera_sample(sampler_cfg, state, pixels)
         o, d, _, _ = generate_rays(camera, p_film, p_lens, time_u)
         L, n_rays = li_path(
-            scene, o, d, sampler_cfg, state, cfg,
-            mat_types, light_types, quadric_types, count_rays=True,
+            scene, o, d, sampler_cfg, state, cfg, statics, count_rays=True,
         )
         return jnp.sum(L), n_rays
 

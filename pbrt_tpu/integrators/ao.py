@@ -25,7 +25,8 @@ class AOConfig:
     max_dist: float = 1e30
 
 
-def li_ao(scene, o, d, sampler_cfg, sampler_state, cfg, quadric_types, start_dim=5):
+def li_ao(scene, o, d, sampler_cfg, sampler_state, cfg, statics, start_dim=5):
+    quadric_types = statics.quadric_types
     t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
     rec = tv.hit_record(scene, o, d, t, prim, quadric_types)
     # Face-forward the normal toward wo (ao.cpp:60).
@@ -64,7 +65,9 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=AOConfig(), filt=None):
     filt = filt or make_filter(film_cfg.filter_name)
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
-    quadric_types = tv.scene_quadric_types(scene)
+    from ..statics import scene_statics
+
+    statics = scene_statics(scene)
 
     def batch(scene, camera, film_state, pixels, s):
         n = pixels.shape[0]
@@ -73,7 +76,7 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=AOConfig(), filt=None):
         from ..cameras import generate_rays
 
         o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
-        L = li_ao(scene, o, d, sampler_cfg, state, cfg, quadric_types)
+        L = li_ao(scene, o, d, sampler_cfg, state, cfg, statics)
         return fm.add_samples(film_state, p_film, L, weight)
 
     step = jax.jit(batch)

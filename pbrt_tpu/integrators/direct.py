@@ -31,10 +31,12 @@ class DirectLightingConfig:
 
 
 def li_direct(
-    scene, o, d, sampler_cfg, sampler_state, cfg,
-    mat_types, light_types, quadric_types, start_dim=5,
+    scene, o, d, sampler_cfg, sampler_state, cfg, statics, start_dim=5,
 ):
     """Li for direct lighting: emitted + one NEE estimate (+ specular chain)."""
+    mat_types = statics.mat_types
+    light_types = statics.light_types
+    quadric_types = statics.quadric_types
     n = o.shape[0]
     L = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
@@ -57,7 +59,10 @@ def li_direct(
         if depth >= cfg.max_depth:
             break
 
-        mat = bx.gather_material(scene.materials, rec["material"])
+        from .path import eval_scene_textures
+
+        tex_vals = eval_scene_textures(scene, rec, statics)
+        mat = bx.gather_material(scene.materials, rec["material"], tex_vals)
         frame = bx.make_frame(rec["ns"], rec["dpdu"])
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
@@ -96,14 +101,13 @@ def li_direct(
 
 def render(scene, camera, film_cfg, sampler_cfg, cfg=DirectLightingConfig(), filt=None):
     from ..filters import make_filter
-    from .path import make_pixel_grid, material_types_present
+    from .path import make_pixel_grid
+    from ..statics import scene_statics
 
     filt = filt or make_filter(film_cfg.filter_name)
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
-    mat_types = material_types_present(scene)
-    light_types = common.light_types_present(scene)
-    quadric_types = tv.scene_quadric_types(scene)
+    statics = scene_statics(scene)
 
     def batch(scene, camera, film_state, pixels, s):
         n = pixels.shape[0]
@@ -112,10 +116,7 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=DirectLightingConfig(), fil
         from ..cameras import generate_rays
 
         o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
-        L = li_direct(
-            scene, o, d, sampler_cfg, state, cfg,
-            mat_types, light_types, quadric_types,
-        )
+        L = li_direct(scene, o, d, sampler_cfg, state, cfg, statics)
         bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
         L = jnp.where(bad[..., None], 0.0, L)
         return fm.add_samples(film_state, p_film, L, weight)

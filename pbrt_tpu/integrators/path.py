@@ -28,6 +28,7 @@ from ..accel import traverse as tv
 from ..lights import lights as lt
 from ..materials import bsdf as bx
 from ..samplers import samplers as sa
+from ..statics import SceneStatics, scene_statics
 from .. import film as fm
 from .. import scene as sc
 from . import common
@@ -40,6 +41,16 @@ class PathConfig:
     light_strategy: str = "uniform"  # "uniform" | "power" | "spatial"(TODO)
 
 
+def eval_scene_textures(scene, rec, statics: SceneStatics):
+    if not statics.has_textures:
+        return None
+    from ..textures.textures import evaluate_textures
+
+    return evaluate_textures(
+        scene.textures, rec["uv"], rec["p"], statics.tex_ids, statics.tex_meta
+    )
+
+
 def li_path(
     scene: sc.SceneArrays,
     o,
@@ -47,9 +58,7 @@ def li_path(
     sampler_cfg: sa.SamplerConfig,
     sampler_state,
     cfg: PathConfig,
-    mat_types: tuple,
-    light_types: tuple,
-    quadric_types: tuple,
+    statics: SceneStatics,
     start_dim: int = 5,
     count_rays: bool = False,
 ):
@@ -57,6 +66,9 @@ def li_path(
     (or (L, n_rays_traced) when count_rays — the Mrays/s denominator:
     closest-hit + shadow + MIS rays actually live per bounce, the analog of
     pbrt's ray-count stats, scene.cpp:40-43)."""
+    quadric_types = statics.quadric_types
+    light_types = statics.light_types
+    mat_types = statics.mat_types
     n = o.shape[0]
     L = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
@@ -91,7 +103,8 @@ def li_path(
             break
 
         # ---- shading setup ----
-        mat = bx.gather_material(scene.materials, rec["material"])
+        tex_vals = eval_scene_textures(scene, rec, statics)
+        mat = bx.gather_material(scene.materials, rec["material"], tex_vals)
         frame = bx.make_frame(rec["ns"], rec["dpdu"])
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
@@ -169,9 +182,7 @@ def render_sample_batch(
     sample_num,
     sampler_cfg: sa.SamplerConfig,
     cfg: PathConfig,
-    mat_types,
-    light_types,
-    quadric_types,
+    statics: SceneStatics,
 ):
     """One sample per pixel: the jitted unit of work (SURVEY.md P1).
 
@@ -185,10 +196,7 @@ def render_sample_batch(
     from ..cameras import generate_rays
 
     o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
-    L = li_path(
-        scene, o, d, sampler_cfg, state, cfg,
-        mat_types, light_types, quadric_types,
-    )
+    L = li_path(scene, o, d, sampler_cfg, state, cfg, statics)
     # NaN/negative checks -> black (integrator.cpp:294-315).
     bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
     L = jnp.where(bad[..., None], 0.0, L)
@@ -202,31 +210,32 @@ def render(
     sampler_cfg: sa.SamplerConfig,
     cfg: PathConfig = PathConfig(),
     filt=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
 ):
     """Full render: host loop over sample batches (checkpointable epochs)."""
     from ..filters import make_filter
+    from ..utils import checkpoint as ckpt
 
     filt = filt or make_filter(film_cfg.filter_name)
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
+    statics = scene_statics(scene)
 
-    mat_types = material_types_present(scene)
-    light_types = common.light_types_present(scene)
-    quadric_types = tv.scene_quadric_types(scene)
+    start = 0
+    if checkpoint_path:
+        film_state, start = ckpt.maybe_resume(checkpoint_path, film_state)
 
     step = jax.jit(
         functools.partial(
-            render_sample_batch,
-            sampler_cfg=sampler_cfg,
-            cfg=cfg,
-            mat_types=mat_types,
-            light_types=light_types,
-            quadric_types=quadric_types,
+            render_sample_batch, sampler_cfg=sampler_cfg, cfg=cfg, statics=statics
         )
     )
-    for s in range(sampler_cfg.spp):
+    for s in range(start, sampler_cfg.spp):
         film_state = step(scene, camera, film_state, pixels, jnp.uint32(s))
-    return fm.to_image(film_state, scale=1.0)
+        if checkpoint_path and checkpoint_every and (s + 1) % checkpoint_every == 0:
+            ckpt.save(checkpoint_path, film_state, s + 1)
+    return fm.to_image(film_state, scale=film_cfg.scale)
 
 
 def material_types_present(scene: sc.SceneArrays) -> tuple:

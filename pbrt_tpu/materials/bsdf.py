@@ -354,24 +354,43 @@ def sample_material(mat, wo, u, mat_types):
     return {"wi": wi, "f": f, "pdf": pdf, "is_specular": is_spec, "valid": valid}
 
 
-def gather_material(table, mat_id):
-    """Build the per-lane material param dict from the MaterialTable."""
+def gather_material(table, mat_id, tex_values=None):
+    """Build the per-lane material param dict from the MaterialTable.
+
+    tex_values: [T, N, 3] evaluated texture stack (textures/textures.py) —
+    parameters with a texture binding (``*_tex >= 0``) override constants
+    (Material::ComputeScatteringFunctions evaluating its Texture inputs).
+    """
+    from ..textures.textures import gather_texture
+
     mid = jnp.clip(mat_id, 0, table.mat_type.shape[0] - 1)
     rough = table.roughness[mid]
     remap = table.remap_roughness[mid]
     urough = table.urough[mid]
     vrough = table.vrough[mid]
+    kd = table.kd[mid]
+    ks = table.ks[mid]
+    sigma = table.sigma[mid]
+    if tex_values is not None:
+        kd = gather_texture(tex_values, table.kd_tex[mid], kd)
+        ks = gather_texture(tex_values, table.ks_tex[mid], ks)
+        sigma = gather_texture(
+            tex_values, table.sigma_tex[mid], sigma[..., None].repeat(3, -1)
+        )[..., 0]
+        rough = gather_texture(
+            tex_values, table.rough_tex[mid], rough[..., None].repeat(3, -1)
+        )[..., 0]
     ur = jnp.where(urough >= 0.0, urough, rough)
     vr = jnp.where(vrough >= 0.0, vrough, rough)
     ax = jnp.where(remap, mf.roughness_to_alpha(ur), jnp.maximum(ur, 1e-3))
     ay = jnp.where(remap, mf.roughness_to_alpha(vr), jnp.maximum(vr, 1e-3))
     return {
         "type": jnp.where(mat_id >= 0, table.mat_type[mid], -1),
-        "kd": table.kd[mid],
-        "ks": table.ks[mid],
+        "kd": kd,
+        "ks": ks,
         "kr": table.kr[mid],
         "kt": table.kt[mid],
-        "sigma": table.sigma[mid],
+        "sigma": sigma,
         "ax": ax,
         "ay": ay,
         "eta": table.eta[mid],

@@ -22,8 +22,7 @@ from ..samplers import samplers as sa
 
 
 def render_batch_radiance(
-    scene, camera, pixels, sample_num, sampler_cfg, path_cfg,
-    mat_types, light_types, quadric_types,
+    scene, camera, pixels, sample_num, sampler_cfg, path_cfg, statics
 ):
     """Forward: per-pixel radiance L [N,3] for one sample batch."""
     from ..integrators.path import li_path
@@ -35,17 +34,14 @@ def render_batch_radiance(
     )
     p_film, time_u, p_lens = sa.get_camera_sample(sampler_cfg, state, pixels)
     o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
-    L = li_path(
-        scene, o, d, sampler_cfg, state, path_cfg,
-        mat_types, light_types, quadric_types,
-    )
+    L = li_path(scene, o, d, sampler_cfg, state, path_cfg, statics)
     bad = ~jnp.all(jnp.isfinite(L), -1)
     return jnp.where(bad[..., None], 0.0, L)
 
 
 def render_grad_step(
     scene, camera, pixels, sample_num, grad_weights, sampler_cfg, path_cfg,
-    mat_types, light_types, quadric_types,
+    statics,
 ):
     """One differentiable render step.
 
@@ -61,8 +57,7 @@ def render_grad_step(
         lights = scene.lights.replace(L=light_L)
         s2 = scene.replace(materials=mats, lights=lights)
         L = render_batch_radiance(
-            s2, camera, pixels, sample_num, sampler_cfg, path_cfg,
-            mat_types, light_types, quadric_types,
+            s2, camera, pixels, sample_num, sampler_cfg, path_cfg, statics
         )
         return jnp.sum(L * grad_weights), L
 

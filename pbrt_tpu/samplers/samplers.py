@@ -10,12 +10,24 @@ bit-math.
 
 Implemented: sobol (sobol.cpp, the preferred parity default — pure bit math),
 halton (halton.cpp incl. the 128-aligned pixel->index CRT inversion),
-random (PCG32), stratified-equivalent via padded Sobol is TODO.
+random (PCG32), stratified, zerotwosequence ((0,2)-sequence with per-pixel
+scrambles), maxmin (max-min-distance matrices, CMaxMinDist tables).
+
+PixelSampler note (sampler.h:89-104): pbrt's stratified/(0,2)/maxmin samplers
+precompute per-pixel arrays with a tile-cloned RNG; the TPU re-expression is
+*stateless* — stratum permutations and jitters come from counter-hashed
+PCG-style mixing keyed by (pixel, dim), and the sample-index permutation uses
+Kensler's cycle-walking permute (the standard stateless equivalent).  Same
+stratification guarantees, deterministic, shard-invariant; not bit-equal to
+the reference's tile-order-dependent streams (Sobol/Halton are the bit-exact
+parity samplers).
 """
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
+from pathlib import Path
 
 import numpy as np
 import jax.numpy as jnp
@@ -64,6 +76,62 @@ class SamplerConfig:
     @property
     def sobol_log2_resolution(self) -> int:
         return int(math.log2(_round_up_pow2(max(self.resolution))))
+
+
+def _mix32(x):
+    """Stateless 32-bit finalizer (murmur3-style) for counter hashing."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _hash_combine(*xs):
+    h = jnp.uint32(0x9E3779B9)
+    for x in xs:
+        h = _mix32(h ^ jnp.asarray(x, jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    return h
+
+
+def _rand_float(bits):
+    return jnp.minimum(
+        bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10),
+        ld.ONE_MINUS_EPSILON,
+    )
+
+
+def _kensler_permute(i, l: int, key):
+    """Stateless keyed permutation of [0, l): balanced Feistel network over
+    the next power-of-4 domain + cycle walking.  Provably bijective (each
+    Feistel round is invertible; cycle walking restricts bijectively)."""
+    import jax
+
+    if l <= 1:
+        return jnp.zeros_like(jnp.asarray(i, jnp.uint32))
+    i = jnp.asarray(i, jnp.uint32)
+    key = jnp.asarray(key, jnp.uint32)
+    nbits = max((l - 1).bit_length(), 2)
+    nbits += nbits & 1  # even for a balanced split
+    h = nbits // 2
+    hmask = jnp.uint32((1 << h) - 1)
+
+    def feistel(x):
+        L = (x >> h) & hmask
+        R = x & hmask
+        for r in range(4):
+            f = _mix32(R ^ key ^ jnp.uint32((r * 0x9E3779B9) & 0xFFFFFFFF)) & hmask
+            L, R = R, L ^ f
+        return (L << h) | R
+
+    out = jax.lax.while_loop(
+        lambda s: jnp.any(s >= l),
+        lambda s: jnp.where(s >= l, feistel(s), s),
+        feistel(i),
+    )
+    return out
 
 
 def init_state(cfg: SamplerConfig, pixel_xy, sample_num):
@@ -118,7 +186,31 @@ def init_state(cfg: SamplerConfig, pixel_xy, sample_num):
         ) * jnp.uint32(max(cfg.spp, 1)) + sample_num + jnp.uint32(cfg.seed)
         return {"rng": prng.make(lane_seed), "px": px, "py": py}
 
+    if cfg.name in ("stratified", "zerotwosequence", "maxmin"):
+        pixel_key = _hash_combine(
+            py * jnp.uint32(cfg.resolution[0]) + px, jnp.uint32(cfg.seed)
+        )
+        return {"pixel_key": pixel_key, "s": sample_num, "px": px, "py": py}
+
     raise ValueError(f"unknown sampler {cfg.name!r}")
+
+
+def _strat_xy(spp: int):
+    """pbrt's CreateStratifiedSampler xsamp/ysamp; here derived from spp as
+    the most-square factorization."""
+    import math as _m
+
+    xs = int(_m.sqrt(spp))
+    while xs > 1 and spp % xs:
+        xs -= 1
+    return max(xs, 1), spp // max(xs, 1)
+
+
+@functools.cache
+def _maxmin_table():
+    return np.load(
+        Path(__file__).resolve().parent.parent / "data" / "maxmin_dist.npy"
+    )
 
 
 def get_1d(cfg: SamplerConfig, state, dim: int):
@@ -148,10 +240,77 @@ def get_1d(cfg: SamplerConfig, state, dim: int):
     if cfg.name == "random":
         state["rng"], f = prng.next_float(state["rng"])
         return f
+    if cfg.name == "stratified":
+        # StratifiedSample1D + Shuffle (stratified.cpp:50-73), stateless.
+        spp = max(cfg.spp, 1)
+        key = _hash_combine(state["pixel_key"], jnp.uint32(dim))
+        j = _kensler_permute(state["s"], spp, key)
+        jit = _rand_float(_mix32(key ^ _mix32(state["s"] + jnp.uint32(0xABCD))))
+        return jnp.minimum(
+            (j.astype(jnp.float32) + jit) / spp, ld.ONE_MINUS_EPSILON
+        )
+    if cfg.name == "zerotwosequence":
+        # VanDerCorput-scrambled 1D (zerotwosequence.cpp StartPixel).
+        scramble = _hash_combine(state["pixel_key"], jnp.uint32(dim))
+        bits = ld.reverse_bits_32(state["s"]) ^ scramble
+        return _rand_float(bits)
+    if cfg.name == "maxmin":
+        scramble = _hash_combine(state["pixel_key"], jnp.uint32(dim))
+        bits = ld.reverse_bits_32(state["s"]) ^ scramble
+        return _rand_float(bits)
     raise ValueError(cfg.name)
 
 
 def get_2d(cfg: SamplerConfig, state, dim: int):
+    if cfg.name == "stratified":
+        # StratifiedSample2D (stratified.cpp:55): xs x ys strata, shuffled.
+        spp = max(cfg.spp, 1)
+        xs, ys = _strat_xy(spp)
+        key = _hash_combine(state["pixel_key"], jnp.uint32(dim), jnp.uint32(77))
+        j = _kensler_permute(state["s"], xs * ys, key)
+        jx = (j % xs).astype(jnp.float32)
+        jy = (j // xs).astype(jnp.float32)
+        ux = _rand_float(_mix32(key ^ _mix32(state["s"] + jnp.uint32(0x1111))))
+        uy = _rand_float(_mix32(key ^ _mix32(state["s"] + jnp.uint32(0x2222))))
+        return jnp.stack(
+            [
+                jnp.minimum((jx + ux) / xs, ld.ONE_MINUS_EPSILON),
+                jnp.minimum((jy + uy) / ys, ld.ONE_MINUS_EPSILON),
+            ],
+            -1,
+        )
+    if cfg.name == "zerotwosequence":
+        # Sobol02 with per-(pixel,dim) scrambles (lowdiscrepancy.h:203-228).
+        tables = ld.sobol_tables()
+        c0 = jnp.asarray(np.ascontiguousarray(tables["sobol_matrices32"][0, :32]))
+        c1 = jnp.asarray(np.ascontiguousarray(tables["sobol_matrices32"][1, :32]))
+        s0 = _hash_combine(state["pixel_key"], jnp.uint32(dim), jnp.uint32(1))
+        s1 = _hash_combine(state["pixel_key"], jnp.uint32(dim), jnp.uint32(2))
+        x = ld.multiply_generator(c0, state["s"]) ^ s0
+        y = ld.multiply_generator(c1, state["s"]) ^ s1
+        return jnp.stack([_rand_float(x), _rand_float(y)], -1)
+    if cfg.name == "maxmin":
+        # CMaxMinDist matrices for the first 2D; Sobol02 beyond
+        # (maxmin.cpp:47-72).
+        spp = max(cfg.spp, 1)
+        idx = min(max(spp.bit_length() - 1, 0), 16)
+        cmm = jnp.asarray(np.ascontiguousarray(_maxmin_table()[idx]))
+        if dim < 2:
+            s0 = _hash_combine(state["pixel_key"], jnp.uint32(dim), jnp.uint32(1))
+            x_bits = ld.multiply_generator(cmm, state["s"]) ^ s0
+            # y = paired van der Corput as in pbrt's MaxMin matrices usage.
+            y_bits = ld.reverse_bits_32(state["s"]) ^ _hash_combine(
+                state["pixel_key"], jnp.uint32(dim), jnp.uint32(2)
+            )
+            return jnp.stack([_rand_float(x_bits), _rand_float(y_bits)], -1)
+        tables = ld.sobol_tables()
+        c0 = jnp.asarray(np.ascontiguousarray(tables["sobol_matrices32"][0, :32]))
+        c1 = jnp.asarray(np.ascontiguousarray(tables["sobol_matrices32"][1, :32]))
+        s0 = _hash_combine(state["pixel_key"], jnp.uint32(dim), jnp.uint32(1))
+        s1 = _hash_combine(state["pixel_key"], jnp.uint32(dim), jnp.uint32(2))
+        x = ld.multiply_generator(c0, state["s"]) ^ s0
+        y = ld.multiply_generator(c1, state["s"]) ^ s1
+        return jnp.stack([_rand_float(x), _rand_float(y)], -1)
     return jnp.stack(
         [get_1d(cfg, state, dim), get_1d(cfg, state, dim + 1)], axis=-1
     )

@@ -132,6 +132,7 @@ class SceneArrays:
     materials: MaterialTable
     lights: LightTable
     light_distr: smp.Distribution1D  # light-picking PMF ("uniform"/"power")
+    textures: object = None  # TextureTable (textures/textures.py)
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +156,9 @@ class SceneBuilder:
     """Accumulates shapes/materials/lights, then freezes into SceneArrays."""
 
     def __init__(self):
+        from .textures.textures import HostTextureTable
+
+        self.textures = HostTextureTable()
         self.prims: list[_Prim] = []
         self.tri_indices: list[np.ndarray] = []
         self.tri_p: list[np.ndarray] = []
@@ -184,6 +188,11 @@ class SceneBuilder:
             metal_eta=(0.2004, 0.9240, 1.1022),  # Cu (metal.cpp default)
             metal_k=(3.9129, 2.4528, 2.1421),
             remap_roughness=True,
+            kd_tex=-1,
+            ks_tex=-1,
+            sigma_tex=-1,
+            roughness_tex=-1,
+            bump_tex=-1,
         )
         defaults.update(params)
         defaults["mat_type"] = mat_type
@@ -454,6 +463,7 @@ class SceneBuilder:
             materials=materials,
             lights=lights,
             light_distr=light_distr,
+            textures=self.textures.freeze(),
         )
 
     def _build_materials(self) -> MaterialTable:
@@ -469,7 +479,11 @@ class SceneBuilder:
             vals = [m.get(key) for m in mats]
             return np.asarray(vals, np.float32)
 
-        neg1 = np.full(len(mats), -1, np.int32)
+        def icol(key):
+            return jnp.asarray(
+                np.array([int(m.get(key, -1)) for m in mats], np.int32)
+            )
+
         return MaterialTable(
             mat_type=jnp.asarray(np.array([m["mat_type"] for m in mats], np.int32)),
             kd=jnp.asarray(col("kd")),
@@ -486,11 +500,11 @@ class SceneBuilder:
             remap_roughness=jnp.asarray(
                 np.array([bool(m["remap_roughness"]) for m in mats])
             ),
-            kd_tex=jnp.asarray(neg1),
-            ks_tex=jnp.asarray(neg1),
-            sigma_tex=jnp.asarray(neg1),
-            rough_tex=jnp.asarray(neg1),
-            bump_tex=jnp.asarray(neg1),
+            kd_tex=icol("kd_tex"),
+            ks_tex=icol("ks_tex"),
+            sigma_tex=icol("sigma_tex"),
+            rough_tex=icol("roughness_tex"),
+            bump_tex=icol("bump_tex"),
         )
 
     def _light_power(self, li: dict, world_radius: float) -> float:

@@ -255,12 +255,122 @@ class PbrtApi:
 
     # ---- content ----
     def texture(self, name, ttype, tclass, params):
+        """Create the texture row at declaration time — declaration order
+        guarantees children precede parents in the table (textures.py's
+        single-pass evaluation invariant)."""
         ps = ParamSet.from_decls(params)
-        tex = {"class": tclass, "params": ps}
+        tid = self._make_texture(tclass, ps)
         if ttype == "float":
-            self.gs.float_textures[name] = tex
+            self.gs.float_textures[name] = tid
         else:
-            self.gs.spectrum_textures[name] = tex
+            self.gs.spectrum_textures[name] = tid
+
+    def _tex_child(self, ps: ParamSet, pname, default):
+        """Resolve a tex-or-constant parameter -> (child_id, const_rgb)."""
+        tname = ps.find_texture(pname)
+        if tname is not None:
+            tid = self.gs.spectrum_textures.get(
+                tname, self.gs.float_textures.get(tname, -1)
+            )
+            return tid, np.zeros(3, np.float32)
+        return -1, ps.find_one_spectrum(pname, default)
+
+    def _make_texture(self, tclass, ps: ParamSet) -> int:
+        from ..textures import textures as tx
+
+        tt = self.setup.scene_builder.textures
+        map2d = (
+            ps.find_one_float("uscale", 1.0),
+            ps.find_one_float("vscale", 1.0),
+            ps.find_one_float("udelta", 0.0),
+            ps.find_one_float("vdelta", 0.0),
+        )
+        w2t = self.ctm.m_inv  # world -> texture space (TextureMapping3D)
+        if tclass == "constant":
+            return tt.add(tx.TEX_CONSTANT, c1=ps.find_one_spectrum("value", 1.0))
+        if tclass == "scale":
+            c1id, c1 = self._tex_child(ps, "tex1", 1.0)
+            c2id, c2 = self._tex_child(ps, "tex2", 1.0)
+            return tt.add(tx.TEX_SCALE, c1=c1, c2=c2, child1=c1id, child2=c2id)
+        if tclass == "mix":
+            c1id, c1 = self._tex_child(ps, "tex1", 0.0)
+            c2id, c2 = self._tex_child(ps, "tex2", 1.0)
+            amt = ps.find_one_float("amount", 0.5)
+            return tt.add(
+                tx.TEX_MIX, c1=c1, c2=c2, child1=c1id, child2=c2id,
+                fparams=(amt, 0, 0, 0),
+            )
+        if tclass == "checkerboard":
+            c1id, c1 = self._tex_child(ps, "tex1", 1.0)
+            c2id, c2 = self._tex_child(ps, "tex2", 0.0)
+            return tt.add(
+                tx.TEX_CHECKER, c1=c1, c2=c2, child1=c1id, child2=c2id,
+                map2d=map2d, w2t=w2t,
+            )
+        if tclass == "uv":
+            return tt.add(tx.TEX_UV, map2d=map2d)
+        if tclass in ("fbm", "wrinkled"):
+            t = tx.TEX_FBM if tclass == "fbm" else tx.TEX_WRINKLED
+            return tt.add(
+                t,
+                fparams=(
+                    ps.find_one_int("octaves", 8),
+                    ps.find_one_float("roughness", 0.5),
+                    0, 0,
+                ),
+                w2t=w2t,
+            )
+        if tclass == "windy":
+            return tt.add(tx.TEX_WINDY, w2t=w2t)
+        if tclass == "marble":
+            return tt.add(
+                tx.TEX_MARBLE,
+                fparams=(
+                    ps.find_one_int("octaves", 8),
+                    ps.find_one_float("roughness", 0.5),
+                    ps.find_one_float("scale", 1.0),
+                    ps.find_one_float("variation", 0.2),
+                ),
+                w2t=w2t,
+            )
+        if tclass == "dots":
+            c1id, c1 = self._tex_child(ps, "inside", 1.0)
+            c2id, c2 = self._tex_child(ps, "outside", 0.0)
+            return tt.add(
+                tx.TEX_DOTS, c1=c1, c2=c2, child1=c1id, child2=c2id, map2d=map2d
+            )
+        if tclass == "bilerp":
+            return tt.add(
+                tx.TEX_BILERP,
+                c1=ps.find_one_spectrum("v00", 0.0),
+                c2=ps.find_one_spectrum("v11", 1.0),
+                map2d=map2d,
+            )
+        if tclass == "imagemap":
+            fname = ps.find_one_string("filename", "")
+            scale = ps.find_one_float("scale", 1.0)
+            img = None
+            if fname:
+                try:
+                    from ..utils.imageio import read_image
+
+                    img = read_image(self._resolve_path(fname))
+                except Exception as e:  # missing file: gray placeholder
+                    log.warning("imagemap %r failed to load: %s", fname, e)
+            if img is None:
+                img = np.full((4, 4, 3), 0.5, np.float32)
+            return tt.add(
+                tx.TEX_IMAGEMAP, c1=(scale, scale, scale), map2d=map2d, image=img
+            )
+        log.warning("texture class %r unsupported; constant 0.5", tclass)
+        return tt.add(tx.TEX_CONSTANT, c1=(0.5, 0.5, 0.5))
+
+    def _resolve_path(self, fname):
+        import os
+
+        if os.path.isabs(fname):
+            return fname
+        return os.path.join(getattr(self, "cwd", "."), fname)
 
     def material(self, name, params):
         ps = ParamSet.from_decls(params)
@@ -278,6 +388,27 @@ class PbrtApi:
         else:
             log.warning("named material %r unknown", name)
 
+    def _bind_spectrum(self, ps, kw, pname, key, default):
+        """Resolve `pname` as texture binding or constant into kw[key]."""
+        tname = ps.find_texture(pname)
+        if tname is not None:
+            kw[key + "_tex"] = self.gs.spectrum_textures.get(
+                tname, self.gs.float_textures.get(tname, -1)
+            )
+            kw[key] = (0.0, 0.0, 0.0)
+        else:
+            kw[key] = ps.find_one_spectrum(pname, default)
+
+    def _bind_float(self, ps, kw, pname, key, default):
+        tname = ps.find_texture(pname)
+        if tname is not None:
+            kw[key + "_tex"] = self.gs.float_textures.get(
+                tname, self.gs.spectrum_textures.get(tname, -1)
+            )
+            kw[key] = 0.0
+        else:
+            kw[key] = ps.find_one_float(pname, default)
+
     def _make_material(self, name, ps: ParamSet) -> int:
         """MakeMaterial factory (api.cpp:560-640)."""
         b = self.setup.scene_builder
@@ -286,13 +417,13 @@ class PbrtApi:
             return -1
         if name == "matte":
             mt = sc.MAT_MATTE
-            kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
-            kw["sigma"] = ps.find_one_float("sigma", 0.0)
+            self._bind_spectrum(ps, kw, "Kd", "kd", 0.5)
+            self._bind_float(ps, kw, "sigma", "sigma", 0.0)
         elif name == "plastic":
             mt = sc.MAT_PLASTIC
-            kw["kd"] = ps.find_one_spectrum("Kd", 0.25)
-            kw["ks"] = ps.find_one_spectrum("Ks", 0.25)
-            kw["roughness"] = ps.find_one_float("roughness", 0.1)
+            self._bind_spectrum(ps, kw, "Kd", "kd", 0.25)
+            self._bind_spectrum(ps, kw, "Ks", "ks", 0.25)
+            self._bind_float(ps, kw, "roughness", "roughness", 0.1)
             kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
         elif name == "mirror":
             mt = sc.MAT_MIRROR

@@ -34,11 +34,8 @@ def test_sharded_matches_single():
     from pbrt_tpu.parallel.mesh import make_mesh
     from pbrt_tpu.parallel.diff import render_batch_radiance
     from pbrt_tpu.samplers.samplers import SamplerConfig
-    from pbrt_tpu.integrators.path import (
-        PathConfig, make_pixel_grid, material_types_present,
-    )
-    from pbrt_tpu.integrators.common import light_types_present
-    from pbrt_tpu.accel.traverse import scene_quadric_types
+    from pbrt_tpu.integrators.path import PathConfig, make_pixel_grid
+    from pbrt_tpu.statics import scene_statics
     from pbrt_tpu import film as fm
 
     res = (8, 8)
@@ -50,9 +47,7 @@ def test_sharded_matches_single():
         render_batch_radiance,
         sampler_cfg=SamplerConfig("sobol", 1, res),
         path_cfg=PathConfig(max_depth=2),
-        mat_types=material_types_present(scene),
-        light_types=light_types_present(scene),
-        quadric_types=scene_quadric_types(scene),
+        statics=scene_statics(scene),
     )
     L_single = np.asarray(jax.jit(fn)(scene, camera, pixels, jnp.uint32(0)))
 

@@ -87,14 +87,11 @@ def test_shard_count_invariance():
     cfg = pt.PathConfig(max_depth=3)
 
     from pbrt_tpu.filters import make_filter
-    from pbrt_tpu.integrators.common import light_types_present
-    from pbrt_tpu.accel.traverse import scene_quadric_types
+    from pbrt_tpu.statics import scene_statics
 
     filt = make_filter("box")
     pixels = pt.make_pixel_grid(film_cfg)
-    mat_types = pt.material_types_present(scene)
-    light_types = light_types_present(scene)
-    qt = scene_quadric_types(scene)
+    statics = scene_statics(scene)
 
     def run(splits):
         film = fm.make_film_state(film_cfg, filt)
@@ -102,7 +99,7 @@ def test_shard_count_invariance():
             for chunk in np.array_split(pixels, splits):
                 film = pt.render_sample_batch(
                     scene, cam, film, jnp.asarray(chunk), jnp.uint32(s),
-                    scfg, cfg, mat_types, light_types, qt,
+                    scfg, cfg, statics,
                 )
         return np.asarray(fm.to_image(film))
 
