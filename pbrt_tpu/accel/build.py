@@ -40,12 +40,91 @@ class BVHArrays:
         return self.nodes_min.shape[0]
 
 
+_NATIVE = None
+
+
+def _native_lib():
+    """ctypes handle to native/libbvh.so (built by `make -C native`)."""
+    global _NATIVE
+    if _NATIVE is None:
+        import ctypes
+        from pathlib import Path
+
+        so = Path(__file__).resolve().parent.parent.parent / "native" / "libbvh.so"
+        if not so.exists():
+            _NATIVE = False
+        else:
+            lib = ctypes.CDLL(str(so))
+            lib.bvh_build.restype = ctypes.c_int32
+            lib.bvh_build.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            _NATIVE = lib
+    return _NATIVE
+
+
+def build_bvh_native(bounds_min, bounds_max, max_prims_in_node=4):
+    """Native C++ builder (native/bvh_builder.cpp); same layout/semantics as
+    the numpy path.  Returns None if the library isn't built."""
+    import ctypes
+
+    lib = _native_lib()
+    if not lib:
+        return None
+    p = bounds_min.shape[0]
+    bmin = np.ascontiguousarray(bounds_min, np.float64)
+    bmax = np.ascontiguousarray(bounds_max, np.float64)
+    max_nodes = 2 * p + 1
+    nodes_min = np.empty((max_nodes, 3), np.float32)
+    nodes_max = np.empty((max_nodes, 3), np.float32)
+    offset = np.empty(max_nodes, np.int32)
+    nprims = np.empty(max_nodes, np.int32)
+    axis = np.empty(max_nodes, np.int32)
+    order = np.empty(p, np.int32)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n_nodes = lib.bvh_build(
+        ptr(bmin, ctypes.c_double), ptr(bmax, ctypes.c_double),
+        p, max_prims_in_node, max_nodes,
+        ptr(nodes_min, ctypes.c_float), ptr(nodes_max, ctypes.c_float),
+        ptr(offset, ctypes.c_int32), ptr(nprims, ctypes.c_int32),
+        ptr(axis, ctypes.c_int32), ptr(order, ctypes.c_int32),
+    )
+    if n_nodes < 0:
+        return None
+    return BVHArrays(
+        nodes_min=nodes_min[:n_nodes].copy(),
+        nodes_max=nodes_max[:n_nodes].copy(),
+        offset=offset[:n_nodes].copy(),
+        n_prims=nprims[:n_nodes].copy(),
+        axis=axis[:n_nodes].copy(),
+        order=order,
+    )
+
+
 def build_bvh(
     bounds_min: np.ndarray,
     bounds_max: np.ndarray,
     max_prims_in_node: int = 4,
+    prefer_native: bool = True,
 ) -> BVHArrays:
     """Build from per-primitive world bounds [P,3]."""
+    if prefer_native:
+        out = build_bvh_native(bounds_min, bounds_max, max_prims_in_node)
+        if out is not None:
+            return out
     p = bounds_min.shape[0]
     assert p > 0, "empty scene"
     bounds_min = np.asarray(bounds_min, np.float64)
@@ -79,7 +158,18 @@ def build_bvh(
         cmax = centroids[idxs].max(0)
         dim = int(np.argmax(cmax - cmin))
         if cmax[dim] == cmin[dim]:
-            emit_leaf(idxs)
+            # Degenerate centroids: keep leaves <= max_prims (the packed-leaf
+            # traversal has exactly max_prims slots) by arbitrary halving.
+            if n <= max_prims_in_node:
+                emit_leaf(idxs)
+                return node_id
+            nmin.append(bmin)
+            nmax.append(bmax)
+            offset.append(-1)
+            nprims.append(0)
+            axis.append(dim)
+            build_range(idxs[: n // 2])
+            offset[node_id] = build_range(idxs[n // 2 :])
             return node_id
 
         c = centroids[idxs, dim]

@@ -37,42 +37,47 @@ def _slab_test(nmin, nmax, o, inv_d, t_best):
 
 
 def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
-    """Intersect one primitive record per lane; returns (hit, t)."""
-    ptype = scene.prim_type[prim_id]
-    pidx = scene.prim_idx[prim_id]
+    """Intersect one primitive record per lane; returns (hit, t).
 
-    # Triangle path (dominant).
-    vid = scene.tri_indices[jnp.clip(pidx, 0, scene.tri_indices.shape[0] - 1)]
-    p0 = scene.tri_p[vid[..., 0]]
-    p1 = scene.tri_p[vid[..., 1]]
-    p2 = scene.tri_p[vid[..., 2]]
-    tri = intersect_triangle(o, d, t_best, p0, p1, p2)
+    Uses the packed mirrors (prim_meta [P,2], tri_verts [T,9],
+    q_packed [Q,16]) so one leaf step costs 2-3 row gathers instead of ~8.
+    """
+    meta = scene.prim_meta[prim_id]  # [.,2]
+    ptype = meta[..., 0]
+    pidx = meta[..., 1]
+
+    # Triangle path (dominant): one [T,9] row gather.
+    v9 = scene.tri_verts[jnp.clip(pidx, 0, scene.tri_verts.shape[0] - 1)]
+    tri = intersect_triangle(
+        o, d, t_best, v9[..., 0:3], v9[..., 3:6], v9[..., 6:9]
+    )
     hit = (ptype == sc.SHAPE_TRIANGLE) & tri["hit"]
     t = jnp.where(hit, tri["t"], jnp.inf)
 
     # Quadric paths, masked per type present in the scene (static set).
     if quadric_types:
-        qidx = jnp.clip(pidx, 0, scene.q_type.shape[0] - 1)
-        w2o = scene.q_w2o[qidx]
-        o2w = scene.q_o2w[qidx]
-        par = scene.q_params[qidx]
+        qp = scene.q_packed[jnp.clip(pidx, 0, scene.q_packed.shape[0] - 1)]
+        w2o_rows = qp[..., :12].reshape(qp.shape[:-1] + (3, 4))
+        par = qp[..., 12:16]
+        oo = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], o) + w2o_rows[..., :3, 3]
+        od = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], d)
         if sc.SHAPE_SPHERE in quadric_types:
-            s = quad.intersect_sphere(
-                o, d, t_best, w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
+            s = quad.intersect_sphere_object(
+                oo, od, t_best, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
             )
             m = (ptype == sc.SHAPE_SPHERE) & s["hit"]
             t = jnp.where(m & (s["t"] < t), s["t"], t)
             hit = hit | m
         if sc.SHAPE_CYLINDER in quadric_types:
-            s = quad.intersect_cylinder(
-                o, d, t_best, w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
+            s = quad.intersect_cylinder_object(
+                oo, od, t_best, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
             )
             m = (ptype == sc.SHAPE_CYLINDER) & s["hit"]
             t = jnp.where(m & (s["t"] < t), s["t"], t)
             hit = hit | m
         if sc.SHAPE_DISK in quadric_types:
-            s = quad.intersect_disk(
-                o, d, t_best, w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
+            s = quad.intersect_disk_object(
+                oo, od, t_best, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
             )
             m = (ptype == sc.SHAPE_DISK) & s["hit"]
             t = jnp.where(m & (s["t"] < t), s["t"], t)
@@ -80,7 +85,119 @@ def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
     return hit, t
 
 
+def _test_slot(slot, o, d, t_best, quadric_types):
+    """Test one 20-float packed prim slot: [0]=type, [1]=prim_id,
+    tri: [2..10]=v0|v1|v2; quadric: [2..13]=w2o rows, [14..17]=params."""
+    ptype = slot[..., 0].astype(jnp.int32)
+    prim_id = slot[..., 1].astype(jnp.int32)
+    tri = intersect_triangle(
+        o, d, t_best, slot[..., 2:5], slot[..., 5:8], slot[..., 8:11]
+    )
+    hit = (ptype == sc.SHAPE_TRIANGLE) & tri["hit"]
+    t = jnp.where(hit, tri["t"], jnp.inf)
+    if quadric_types:
+        w2o_rows = slot[..., 2:14].reshape(slot.shape[:-1] + (3, 4))
+        par = slot[..., 14:18]
+        oo = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], o) + w2o_rows[..., :3, 3]
+        od = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], d)
+        fns = {
+            sc.SHAPE_SPHERE: quad.intersect_sphere_object,
+            sc.SHAPE_CYLINDER: quad.intersect_cylinder_object,
+            sc.SHAPE_DISK: quad.intersect_disk_object,
+        }
+        for qt in quadric_types:
+            sres = fns[qt](oo, od, t_best, par[..., 0], par[..., 1], par[..., 2], par[..., 3])
+            m = (ptype == qt) & sres["hit"]
+            t = jnp.where(m & (sres["t"] < t), sres["t"], t)
+            hit = hit | m
+    return hit, t, prim_id
+
+
+def _traverse_packed(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit: bool):
+    """Leaf-packed lockstep traversal: ONE node-row gather + ONE 80-float
+    leaf-row gather per iteration; all <=4 leaf prims tested in the same
+    iteration.  Measured SLOWER than the if-if loop on the axon TPU backend
+    (the 4x wider elementwise body outweighs the gather savings — the
+    backend's elementwise fusion is weak), but the packed node/leaf layout it
+    uses is exactly what the Pallas packet kernel consumes; kept as an
+    alternative and as that kernel's reference semantics."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+    slot_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+
+    state = dict(
+        node=jnp.zeros((n,), jnp.int32),
+        sp=jnp.zeros((n,), jnp.int32),
+        stack=jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        t_best=jnp.asarray(t_max) * jnp.ones((n,), jnp.float32),
+        prim_best=jnp.full((n,), -1, jnp.int32),
+    )
+
+    def alive(s):
+        live = s["node"] >= 0
+        if any_hit:
+            live = live & (s["prim_best"] < 0)
+        return live
+
+    def cond(s):
+        return jnp.any(alive(s))
+
+    def body(s):
+        at_node = alive(s)
+        nd = jnp.clip(s["node"], 0, scene.nodes_packed.shape[0] - 1)
+        row = scene.nodes_packed[nd]  # ONE gather
+        node_hit = at_node & _slab_test(
+            row[..., 0:3], row[..., 3:6], o, inv_d, s["t_best"]
+        )
+        child_or_leaf = row[..., 6].astype(jnp.int32)
+        nprims = row[..., 7].astype(jnp.int32)
+        axis = row[..., 8].astype(jnp.int32)
+        is_leaf = nprims > 0
+        enter_leaf = node_hit & is_leaf
+        is_push = node_hit & ~is_leaf
+        need_pop = at_node & ~is_push
+
+        # ---- leaf: one 80-float gather, 4 slots tested now ----
+        lrow = jnp.clip(child_or_leaf, 0, scene.leaf_packed.shape[0] - 1)
+        leaf = scene.leaf_packed[lrow]  # ONE gather
+        t_best = s["t_best"]
+        prim_best = s["prim_best"]
+        for k in range(4):
+            slot = leaf[..., 20 * k : 20 * (k + 1)]
+            h, t, pid = _test_slot(slot, o, d, t_best, quadric_types)
+            take = enter_leaf & h & (t < t_best)
+            t_best = jnp.where(take, t, t_best)
+            prim_best = jnp.where(take, pid, prim_best)
+
+        # ---- interior: push far, descend near ----
+        dir_neg = jnp.take_along_axis(d, axis[..., None], axis=-1)[..., 0] < 0.0
+        near = jnp.where(dir_neg, child_or_leaf, nd + 1)
+        far = jnp.where(dir_neg, nd + 1, child_or_leaf)
+        spc = jnp.clip(s["sp"], 0, STACK_DEPTH - 1)
+        write_mask = is_push[:, None] & (slot_iota == spc[:, None])
+        stack = jnp.where(write_mask, far[:, None], s["stack"])
+        sp = s["sp"] + is_push.astype(jnp.int32)
+
+        can_pop = sp > 0
+        sp_popped = jnp.clip(sp - 1, 0, STACK_DEPTH - 1)
+        popped = jnp.take_along_axis(stack, sp_popped[:, None], axis=1)[:, 0]
+        node = jnp.where(
+            need_pop,
+            jnp.where(can_pop, popped, -1),
+            jnp.where(is_push, near, s["node"]),
+        )
+        sp = jnp.where(need_pop & can_pop, sp - 1, sp)
+
+        return dict(node=node, sp=sp, stack=stack, t_best=t_best, prim_best=prim_best)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return jax.lax.stop_gradient(out["t_best"]), out["prim_best"]
+
+
 def _traverse(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit: bool):
+    """Default lockstep 'if-if' traversal (one node visit OR one prim test
+    per lane per iteration) — the fastest XLA formulation measured on the
+    target backend."""
     n = o.shape[0]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
@@ -118,37 +235,41 @@ def _traverse(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit: bool):
         prim_best = jnp.where(take, prim_id, s["prim_best"])
         leaf_cur = jnp.where(in_leaf, s["leaf_cur"] + 1, s["leaf_cur"])
 
-        # ---- node step ----
-        nd = jnp.clip(s["node"], 0, scene.bvh_min.shape[0] - 1)
+        # ---- node step (2 packed row gathers: bounds [M,6], meta [M,3]) ----
+        nd = jnp.clip(s["node"], 0, scene.bvh_bounds.shape[0] - 1)
+        nb = scene.bvh_bounds[nd]
+        meta = scene.bvh_meta[nd]
         node_hit = at_node & _slab_test(
-            scene.bvh_min[nd], scene.bvh_max[nd], o, inv_d, t_best
+            nb[..., 0:3], nb[..., 3:6], o, inv_d, t_best
         )
-        is_leaf_node = scene.bvh_nprims[nd] > 0
+        is_leaf_node = meta[..., 1] > 0
         enter_leaf = node_hit & is_leaf_node
         is_push = node_hit & ~is_leaf_node
         need_pop = at_node & ~is_push  # miss or entered leaf -> advance via pop
 
         # Set leaf range on entry.
-        off = scene.bvh_offset[nd]
-        npr = scene.bvh_nprims[nd]
+        off = meta[..., 0]
+        npr = meta[..., 1]
         leaf_cur = jnp.where(enter_leaf, off, leaf_cur)
         leaf_end = jnp.where(enter_leaf, off + npr, s["leaf_end"])
 
         # Push far child / descend near child (front-to-back, bvh.cpp:685-697).
-        axis = scene.bvh_axis[nd]
+        axis = meta[..., 2]
         dir_neg = jnp.take_along_axis(d, axis[..., None], axis=-1)[..., 0] < 0.0
         near = jnp.where(dir_neg, off, nd + 1)
         far = jnp.where(dir_neg, nd + 1, off)
         spc = jnp.clip(s["sp"], 0, STACK_DEPTH - 1)
-        stack = s["stack"].at[lane, spc].set(
-            jnp.where(is_push, far, s["stack"][lane, spc])
-        )
+        # Write via broadcast-compare (elementwise, VPU-friendly) rather than
+        # scatter: slot j of each lane takes `far` iff j == sp and pushing.
+        slot_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+        write_mask = is_push[:, None] & (slot_iota == spc[:, None])
+        stack = jnp.where(write_mask, far[:, None], s["stack"])
         sp = s["sp"] + is_push.astype(jnp.int32)
 
         # Pop (or terminate when the stack is empty).
         can_pop = sp > 0
         sp_popped = jnp.clip(sp - 1, 0, STACK_DEPTH - 1)
-        popped = stack[lane, sp_popped]
+        popped = jnp.take_along_axis(stack, sp_popped[:, None], axis=1)[:, 0]
         node = jnp.where(
             need_pop,
             jnp.where(can_pop, popped, -1),
@@ -173,6 +294,13 @@ def _traverse(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit: bool):
     return jax.lax.stop_gradient(out["t_best"]), out["prim_best"]
 
 
+def _device_scene(scene: sc.SceneArrays) -> sc.SceneArrays:
+    """SceneArrays leaves are host numpy (single-upload policy); while_loop
+    bodies index them with tracers, which numpy can't — convert leaves to
+    jnp (identity on tracers under jit; an upload on eager/debug calls)."""
+    return jax.tree_util.tree_map(jnp.asarray, scene)
+
+
 def scene_quadric_types(scene: sc.SceneArrays) -> tuple:
     """Host-side: which quadric types exist (static specialization set)."""
     import numpy as np
@@ -181,15 +309,49 @@ def scene_quadric_types(scene: sc.SceneArrays) -> tuple:
     return tuple(sorted(t for t in types if t != sc.SHAPE_TRIANGLE))
 
 
+import os
+
+# Auto: packet kernel on TPU when the scene fits VMEM; the XLA loop is the
+# fallback and the semantic oracle.  Override: PBRT_TPU_KERNEL=0|1.
+_KERNEL_ENV = os.environ.get("PBRT_TPU_KERNEL", "auto")
+
+
+def _use_kernel(scene) -> bool:
+    from ..ops import pallas_bvh as pk
+
+    if _KERNEL_ENV == "0":
+        return False
+    n_q = int(scene.q_packed.shape[0]) if scene.q_packed is not None else 0
+    ok = pk.kernel_supported(scene, n_q)
+    if _KERNEL_ENV == "1":
+        return ok
+    import jax as _jax
+
+    return ok and _jax.default_backend() not in ("cpu",)
+
+
 def intersect_closest(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
     """Closest-hit query.  Returns (t [N], prim_id [N]; -1 = miss)."""
-    return _traverse(scene, o, d, t_max, quadric_types, any_hit=False)
+    if _use_kernel(scene):
+        from ..ops import pallas_bvh as pk
+
+        return pk.intersect_kernel_with_quadrics(
+            _device_scene(scene), o, d, t_max, quadric_types
+        )
+    return _traverse(_device_scene(scene), o, d, t_max, quadric_types, any_hit=False)
 
 
 def intersect_any(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
     """Shadow-ray query with early-out (bvh.cpp:702 IntersectP).
     Returns occluded [N] bool."""
-    _, prim = _traverse(scene, o, d, t_max, quadric_types, any_hit=True)
+    if _use_kernel(scene):
+        from ..ops import pallas_bvh as pk
+
+        _, prim = pk.intersect_kernel_with_quadrics(
+            _device_scene(scene), o, d, t_max, quadric_types
+        )
+        return prim >= 0
+    _, prim = _traverse(_device_scene(scene), o, d, t_max, quadric_types, any_hit=True)
     return prim >= 0
 
 

@@ -142,10 +142,11 @@ def build_distribution_1d(f: np.ndarray) -> Distribution1D:
     cdf[..., 1:] = np.where(
         zero[..., None], uniform, cdf[..., 1:] / np.where(zero, 1.0, func_int)[..., None]
     )
+    # Host-side numpy (uploaded once at the jit boundary with the scene).
     return Distribution1D(
-        func=jnp.asarray(f, jnp.float32),
-        cdf=jnp.asarray(cdf, jnp.float32),
-        func_int=jnp.asarray(func_int, jnp.float32),
+        func=np.asarray(f, np.float32),
+        cdf=np.asarray(cdf, np.float32),
+        func_int=np.asarray(func_int, np.float32),
     )
 
 

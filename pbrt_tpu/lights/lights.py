@@ -180,6 +180,36 @@ def sample_li(scene: sc.SceneArrays, light_idx, ref_p, u, light_types):
         pdf = jnp.where(m, pdf_t, pdf)
         p_light = jnp.where(m[..., None], p_t, p_light)
 
+    if sc.LIGHT_INFINITE in light_types:
+        m = li_t == sc.LIGHT_INFINITE
+        has_map = lt.env_light_idx >= 0
+        # Importance-sample the env map (infinite.cpp:126-155 Sample_Li).
+        uv, map_pdf = smp.sample_continuous_2d(lt.env_distr, u)
+        theta = uv[..., 1] * jnp.pi
+        phi = uv[..., 0] * 2.0 * jnp.pi
+        sin_t = jnp.sin(theta)
+        w_light = jnp.stack(
+            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.cos(theta)], -1
+        )
+        l2w = lt.env_w2l  # world->light; light->world = transpose (rotation)
+        wi_map = jnp.einsum("ji,nj->ni", l2w[:3, :3], w_light)
+        pdf_map = map_pdf / jnp.maximum(
+            2.0 * jnp.pi * jnp.pi * sin_t, 1e-12
+        )
+        pdf_map = jnp.where(sin_t == 0.0, 0.0, pdf_map)
+        li_map = _env_lookup(lt, uv)
+        # Constant infinite light fallback: uniform sphere.
+        wi_const = smp.uniform_sample_sphere(u)
+        pdf_const = jnp.full(wi_const.shape[:-1], smp.uniform_sphere_pdf())
+        wi_m = jnp.where(has_map, wi_map, wi_const)
+        pdf_m = jnp.where(has_map, pdf_map, pdf_const)
+        li_m = jnp.where(has_map, li_map, L)
+        p_out = ref_p + wi_m * (2.0 * lt.world_radius)
+        wi = jnp.where(m[..., None], wi_m, wi)
+        li = jnp.where(m[..., None], li_m, li)
+        pdf = jnp.where(m, pdf_m, pdf)
+        p_light = jnp.where(m[..., None], p_out, p_light)
+
     return {
         "wi": wi,
         "li": li,
@@ -187,6 +217,37 @@ def sample_li(scene: sc.SceneArrays, light_idx, ref_p, u, light_types):
         "p_light": p_light,
         "is_delta": is_delta,
     }
+
+
+def _env_lookup(lt, uv):
+    """Bilinear equirect map lookup at (u, v) in [0,1)^2."""
+    env = lt.env_map
+    h = env.shape[0]
+    w = env.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def at(xi, yi):
+        xi = jnp.mod(xi, w)
+        yi = jnp.clip(yi, 0, h - 1)
+        return env[yi, xi]
+
+    return (1 - fx) * ((1 - fy) * at(x0, y0) + fy * at(x0, y0 + 1)) + fx * (
+        (1 - fy) * at(x0 + 1, y0) + fy * at(x0 + 1, y0 + 1)
+    )
+
+
+def _env_dir_to_uv(lt, wi):
+    """World direction -> equirect (u,v) in light space (infinite.cpp Le)."""
+    w_l = normalize(jnp.einsum("ij,nj->ni", lt.env_w2l[:3, :3], wi))
+    theta = jnp.arccos(jnp.clip(w_l[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(w_l[..., 1], w_l[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    return jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], -1), theta
 
 
 def pdf_li(scene: sc.SceneArrays, light_idx, ref_p, wi, light_types):
@@ -256,6 +317,19 @@ def pdf_li(scene: sc.SceneArrays, light_idx, ref_p, wi, light_types):
         )
         pdf = jnp.where(m, pdf_m, pdf)
 
+    if sc.LIGHT_INFINITE in light_types:
+        # InfiniteAreaLight::Pdf_Li (infinite.cpp:157-168).
+        m = lt.light_type[light_idx] == sc.LIGHT_INFINITE
+        has_map = lt.env_light_idx >= 0
+        uv, theta = _env_dir_to_uv(lt, wi)
+        sin_t = jnp.sin(theta)
+        p2d = smp.pdf_2d(lt.env_distr, uv)
+        pdf_map = jnp.where(
+            sin_t == 0.0, 0.0, p2d / jnp.maximum(2.0 * jnp.pi**2 * sin_t, 1e-12)
+        )
+        pdf_m = jnp.where(has_map, pdf_map, smp.uniform_sphere_pdf())
+        pdf = jnp.where(m, pdf_m, pdf)
+
     return pdf
 
 
@@ -271,16 +345,22 @@ def area_light_emission(scene: sc.SceneArrays, arealight_idx, ng, wo):
 
 
 def escaped_radiance(scene: sc.SceneArrays, d, light_types):
-    """Sum of infinite lights' Le(ray) for escaped rays (scene.cpp /
-    light.h:75 Le).  Env-map infinite lights come with textures; black for
-    now unless a constant-infinite light is present."""
+    """Sum of infinite lights' Le(ray) for escaped rays
+    (InfiniteAreaLight::Le, infinite.cpp:37-45)."""
     n = d.shape[0]
     out = jnp.zeros((n, 3), jnp.float32)
     if sc.LIGHT_INFINITE in light_types:
         lt = scene.lights
         is_inf = lt.light_type == sc.LIGHT_INFINITE
-        const_sum = jnp.sum(
-            jnp.where(is_inf[..., None], lt.L, 0.0), axis=0
+        has_map = lt.env_light_idx >= 0
+        # Env-map light: lookup along the ray direction.
+        uv, _ = _env_dir_to_uv(lt, normalize(d))
+        le_map = _env_lookup(lt, uv)
+        # Constant infinite lights sum their L; the mapped one adds lookup.
+        is_const = is_inf & ~(
+            jnp.arange(lt.light_type.shape[0]) == lt.env_light_idx
         )
+        const_sum = jnp.sum(jnp.where(is_const[..., None], lt.L, 0.0), axis=0)
         out = out + const_sum[None, :]
+        out = out + jnp.where(has_map, le_map, 0.0)
     return out

@@ -1,0 +1,422 @@
+"""Pallas TPU packet BVH traversal kernel.
+
+The perf centerpiece (SURVEY.md §7 "BVH traversal on the VPU").  Measured
+facts that shape this design (tools/bench_gather.py + traversal bisection):
+  * XLA in-loop row gathers cost ~13ns/row regardless of width, and the
+    backend's weak elementwise fusion caps the lockstep wavefront loop at
+    ~10 GB/s effective — both cliffs vanish inside a hand-written kernel;
+  * per-lane divergent VMEM gathers are unsupported (no int indexing on
+    TPU), but scalar-indexed dynamic slices from VMEM are cheap.
+
+So: PACKET traversal — one shared traversal order per block of rays
+(classic wide-SIMD packet tracing, here 8x128 = 1024 rays/packet):
+  * the whole flattened node table (nodes_packed [M,12] f32, zero-padded to
+    a lane multiple) resides in VMEM — killeroo's 118k nodes = 5.5 MB;
+  * the packet walks ONE node at a time: scalar reads of the node row via
+    static-size dynamic slices, vector slab test over all 1024 lanes;
+  * a scalar stack lives in SMEM scratch; descend order = packet majority
+    vote on the split-axis direction sign;
+  * leaf prims (leaf_tris [NL, 4, 11]: type, prim_id, v0|v1|v2 x4 slots)
+    are tested by the whole packet, 4 slots unrolled.
+
+Divergence cost = the packet visits the union of its rays' nodes, so callers
+should sort rays by (direction octant, origin morton) between bounces; the
+plain wavefront loop in accel/traverse.py remains the semantic reference and
+the fallback for scenes whose node table exceeds VMEM.
+
+Quadric prims take the XLA fallback for now (packet kernel handles
+triangle-only scenes; mixed scenes route quadrics via a second pass — TODO).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+PACKET = LANES * SUBLANES  # 1024 rays per packet
+STACK_DEPTH = 64
+NODE_W = 16  # padded node row: bounds(6) child(1) nprims(1) axis(1) pad(7)
+SLOT_W = 16  # padded leaf slot: type, prim_id, 9 verts, pad
+MAX_LEAF = 4
+LEAF_ROW_W = 128  # HBM rows padded to the (1,128) tiling
+
+
+def pack_nodes_pages(nodes_flat: np.ndarray) -> np.ndarray:
+    """[M, >=9] -> lane-packed pages [ceil(M/128), NODE_W, 128]: node i lives
+    at (page i>>7, field row, lane i&127).  VMEM-tiling friendly: no lane
+    padding blowup (a [M,16] f32 table would pad 16->128 lanes = 8x)."""
+    m = nodes_flat.shape[0]
+    n_pages = (m + 127) // 128
+    pages = np.zeros((n_pages, NODE_W, 128), np.float32)
+    for f in range(min(nodes_flat.shape[1], NODE_W)):
+        col = np.zeros(n_pages * 128, np.float32)
+        col[:m] = nodes_flat[:, f]
+        pages[:, f, :] = col.reshape(n_pages, 128)
+    return pages
+
+
+def pack_scene_for_kernel(scene):
+    """Host-side: node table + triangle leaf table in kernel layout.
+
+    Returns dict of numpy arrays (cached per scene by callers).
+    """
+    nodes = np.asarray(scene.nodes_packed, np.float32)  # [M, 9]
+    m = nodes.shape[0]
+    node_tab = pack_nodes_pages(nodes)
+    leaf = np.asarray(scene.leaf_packed, np.float32)  # [NL, 80]
+    nl = leaf.shape[0]
+    leaf_tab = np.zeros((nl, LEAF_ROW_W), np.float32)
+    for k in range(MAX_LEAF):
+        sl = leaf[:, 20 * k : 20 * k + 20]
+        leaf_tab[:, k * SLOT_W + 0] = sl[:, 0]  # type (-1 empty)
+        leaf_tab[:, k * SLOT_W + 1] = sl[:, 1]  # prim id
+        leaf_tab[:, k * SLOT_W + 2 : k * SLOT_W + 11] = sl[:, 2:11]
+    return {"nodes": node_tab, "leaves": leaf_tab}
+
+
+def _tri_hit(ox, oy, oz, dx, dy, dz, t_best, v):
+    """Watertight-lite triangle test on packet vectors ([8,128] each).
+
+    v: [9] scalars (f32 reads from the leaf slot) — the whole packet tests
+    the same triangle.  Uses the Moller-Trumbore form (the shared-triangle
+    setting makes pbrt's per-ray shear permutation wasteful; the wavefront
+    reference remains the watertight oracle and recomputes exact hits).
+    """
+    e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
+    e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tx, ty, tz = ox - v[0], oy - v[1], oz - v[2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    w = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (w >= 0.0)
+        & (u + w <= 1.0)
+        & (t > 1e-4)
+        & (t < t_best)
+    )
+    return hit, t
+
+
+def _make_kernel(n_nodes: int, n_leaves: int, n_packets: int):
+    def kernel(
+        nodes_ref,  # VMEM [M, NODE_W] — single copy (no grid pipelining)
+        leaves_ref,  # HBM [NL, LEAF_ROW_W] — DMA'd per leaf visit
+        o_ref,  # VMEM [P, 3, 8, 128]
+        d_ref,  # VMEM [P, 3, 8, 128]
+        tmax_ref,  # VMEM [P, 8, 128]
+        t_out,  # VMEM [P, 8, 128]
+        prim_out,  # VMEM [P, 8, 128] i32
+        stack_ref,  # SMEM [STACK_DEPTH] i32 scratch
+        leaf_buf,  # VMEM [1, LEAF_ROW_W] scratch (DMA target)
+        leaf_sem,  # DMA semaphore
+    ):
+      def packet(p, _):
+        ox = o_ref[p, 0]
+        oy = o_ref[p, 1]
+        oz = o_ref[p, 2]
+        dx = d_ref[p, 0]
+        dy = d_ref[p, 1]
+        dz = d_ref[p, 2]
+        inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+        inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+        inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        # Majority direction sign per axis (packet vote, scalar).
+        negx = jnp.sum((dx < 0.0).astype(jnp.float32)) > PACKET / 2
+        negy = jnp.sum((dy < 0.0).astype(jnp.float32)) > PACKET / 2
+        negz = jnp.sum((dz < 0.0).astype(jnp.float32)) > PACKET / 2
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def body(state):
+            node, sp, t_best, prim_best = state
+            nd = jnp.clip(node, 0, n_nodes - 1)
+            page = nodes_ref[pl.ds(nd >> 7, 1)]  # [1, NODE_W, 128]
+            lane = nd & 127
+            sel = (lane_iota == lane).astype(jnp.float32)  # [1, 128]
+
+            def field(k):
+                return jnp.sum(page[0, k : k + 1, :] * sel)
+
+            row = [field(k) for k in range(9)]
+            # Vector slab test.
+            t0x = (row[0] - ox) * inv_dx
+            t1x = (row[3] - ox) * inv_dx
+            t0y = (row[1] - oy) * inv_dy
+            t1y = (row[4] - oy) * inv_dy
+            t0z = (row[2] - oz) * inv_dz
+            t1z = (row[5] - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = (
+                jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                * 1.0000004
+            )
+            hit_mask = (tn <= tf) & (tf > 0.0) & (tn < t_best)
+            any_hit = jnp.any(hit_mask)
+            child = row[6].astype(jnp.int32)
+            nprims = row[7].astype(jnp.int32)
+            axis = row[8].astype(jnp.int32)
+            is_leaf = nprims > 0
+
+            # ---- leaf: DMA the 4-slot row from HBM, test shared tris ----
+            def do_leaf(args):
+                t_best, prim_best = args
+                dma = pltpu.make_async_copy(
+                    leaves_ref.at[pl.ds(jnp.clip(child, 0, n_leaves - 1), 1), :],
+                    leaf_buf,
+                    leaf_sem,
+                )
+                dma.start()
+                dma.wait()
+                lrow = leaf_buf[0]
+                for k in range(MAX_LEAF):
+                    base = k * SLOT_W
+                    ptype = lrow[base + 0]
+                    pid = lrow[base + 1].astype(jnp.int32)
+                    v = [lrow[base + 2 + j] for j in range(9)]
+                    h, t = _tri_hit(ox, oy, oz, dx, dy, dz, t_best, v)
+                    take = (ptype == 0.0) & h & hit_mask
+                    t_best = jnp.where(take, t, t_best)
+                    prim_best = jnp.where(take, pid, prim_best)
+                return t_best, prim_best
+
+            t_best, prim_best = jax.lax.cond(
+                any_hit & is_leaf, do_leaf, lambda a: a, (t_best, prim_best)
+            )
+
+            # ---- stack ops (scalar, SMEM) ----
+            push = any_hit & ~is_leaf
+            neg = jnp.where(
+                axis == 0, negx, jnp.where(axis == 1, negy, negz)
+            )
+            near = jnp.where(neg, child, node + 1)
+            far = jnp.where(neg, node + 1, child)
+
+            @pl.when(push)
+            def _():
+                stack_ref[jnp.clip(sp, 0, STACK_DEPTH - 1)] = far
+
+            sp_new = jnp.where(push, sp + 1, sp)
+            pop = ~push  # leaf done or miss
+            can_pop = sp_new > 0
+            popped = stack_ref[jnp.clip(sp_new - 1, 0, STACK_DEPTH - 1)]
+            node_new = jnp.where(
+                pop, jnp.where(can_pop, popped, -1), near
+            )
+            sp_new = jnp.where(pop & can_pop, sp_new - 1, sp_new)
+            return node_new, sp_new, t_best, prim_best
+
+        def cond(state):
+            return state[0] >= 0
+
+        node0 = jnp.int32(0)
+        sp0 = jnp.int32(0)
+        _, _, t_fin, prim_fin = jax.lax.while_loop(
+            cond, body,
+            (node0, sp0, tmax_ref[p], jnp.full((SUBLANES, LANES), -1, jnp.int32)),
+        )
+        t_out[p] = t_fin
+        prim_out[p] = prim_fin
+        return 0
+
+      jax.lax.fori_loop(0, n_packets, packet, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "n_leaves"))
+def _run_packets(nodes, leaves, o, d, t_max, n_nodes, n_leaves):
+    n = o.shape[0]
+    n_packets = n // PACKET
+    o_b = o.reshape(n_packets, PACKET, 3).transpose(0, 2, 1).reshape(
+        n_packets, 3, SUBLANES, LANES
+    )
+    d_b = d.reshape(n_packets, PACKET, 3).transpose(0, 2, 1).reshape(
+        n_packets, 3, SUBLANES, LANES
+    )
+    t_b = t_max.reshape(n_packets, SUBLANES, LANES)
+
+    kernel = _make_kernel(n_nodes, n_leaves, n_packets)
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # leaves in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_packets, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, SUBLANES, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, LEAF_ROW_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(nodes, leaves, o_b, d_b, t_b)
+    t_flat = t_out.reshape(n_packets * SUBLANES * LANES)
+    p_flat = prim_out.reshape(n_packets * SUBLANES * LANES)
+    return t_flat, p_flat
+
+
+def intersect_closest_packets(scene, kernel_tables, o, d, t_max):
+    """Packet-kernel closest hit.  o, d: [N,3]; N padded to PACKET multiple
+    by the caller.  Returns (t [N], prim_id [N])."""
+    nodes = kernel_tables["nodes"]  # pages [P, NODE_W, 128]
+    leaves = kernel_tables["leaves"]
+    n_real_nodes = int(np.asarray(scene.nodes_packed).shape[0])
+    return _kernel_trace(
+        jnp.asarray(nodes), jnp.asarray(leaves),
+        n_real_nodes, int(leaves.shape[0]), o, d, t_max,
+    )
+
+
+def _kernel_trace(nodes, leaves, n_nodes, n_leaves, o, d, t_max):
+    n = o.shape[0]
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    pad = (-n) % PACKET
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))]
+        )
+        t_max_arr = jnp.concatenate([t_max_arr, jnp.zeros((pad,), jnp.float32)])
+    t, p = _run_packets(nodes, leaves, o, d, t_max_arr, n_nodes, n_leaves)
+    return t[:n], p[:n]
+
+
+def _morton_part(x):
+    """Spread 10 bits of x over 30 (classic Morton interleave)."""
+    x = jnp.asarray(x, jnp.uint32) & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def sort_rays_key(scene, o, d):
+    """Packet-coherence sort key: direction octant (3 bits) | origin morton
+    (27 bits), quantized to the scene bounds (root node row)."""
+    root = jnp.asarray(scene.kernel_nodes)[0, :, 0]  # page 0, lane 0
+    bmin = root[0:3]
+    bmax = root[3:6]
+    q = jnp.clip(
+        (o - bmin) / jnp.maximum(bmax - bmin, 1e-6) * 511.0, 0.0, 511.0
+    ).astype(jnp.uint32)
+    morton = (
+        (_morton_part(q[..., 0] >> 0) << 2)
+        | (_morton_part(q[..., 1] >> 0) << 1)
+        | _morton_part(q[..., 2] >> 0)
+    ) & jnp.uint32((1 << 27) - 1)
+    octant = (
+        ((d[..., 0] < 0).astype(jnp.uint32) << 2)
+        | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
+        | (d[..., 2] < 0).astype(jnp.uint32)
+    )
+    return ((octant << 27) | morton).astype(jnp.int32)
+
+
+def intersect_kernel_with_quadrics(scene, o, d, t_max, quadric_types=(),
+                                   sort: bool = True):
+    """Full closest-hit via the packet kernel (triangles through the BVH
+    kernel; quadrics brute-forced — scenes carry few of them, e.g. killeroo's
+    single light sphere).  Same (t, prim_id) contract as the XLA loop.
+
+    Rays are sorted by (direction octant, origin morton) so each 1024-ray
+    packet traverses a coherent frustum (divergence is the packet-kernel's
+    cost model); results scatter back to original order.
+    """
+    from ..shapes import quadrics as quad
+    from .. import scene as sc
+
+    nodes = jnp.asarray(scene.kernel_nodes)  # pages [P, NODE_W, 128]
+    leaves = jnp.asarray(scene.kernel_leaves)
+    n_real_nodes = int(scene.nodes_packed.shape[0])
+    n = o.shape[0]
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if sort:
+        key = sort_rays_key(scene, o, d)
+        order = jnp.argsort(key)
+        o_s = o[order]
+        d_s = d[order]
+        tm_s = t_max_arr[order]
+        t_s, prim_s = _kernel_trace(
+            nodes, leaves, n_real_nodes, int(leaves.shape[0]),
+            o_s, d_s, tm_s,
+        )
+        t = jnp.zeros((n,), jnp.float32).at[order].set(t_s)
+        prim = jnp.zeros((n,), jnp.int32).at[order].set(prim_s)
+    else:
+        t, prim = _kernel_trace(
+            nodes, leaves, n_real_nodes, int(leaves.shape[0]),
+            o, d, t_max_arr,
+        )
+    if quadric_types:
+        n_q = int(scene.q_packed.shape[0])
+        q_packed = jnp.asarray(scene.q_packed)
+        q_type = jnp.asarray(scene.q_type)
+        q_prim = jnp.asarray(scene.q_prim_id)
+        fns = {
+            sc.SHAPE_SPHERE: quad.intersect_sphere_object,
+            sc.SHAPE_CYLINDER: quad.intersect_cylinder_object,
+            sc.SHAPE_DISK: quad.intersect_disk_object,
+        }
+        for qi in range(n_q):
+            row = q_packed[qi]
+            w2o = row[:12].reshape(3, 4)
+            par = row[12:16]
+            oo = o @ w2o[:3, :3].T + w2o[:3, 3]
+            od = d @ w2o[:3, :3].T
+            valid_q = q_prim[qi] >= 0  # row actually referenced by a prim
+            for qt in quadric_types:
+                s = fns[qt](oo, od, t, par[0], par[1], par[2], par[3])
+                take = (q_type[qi] == qt) & valid_q & s["hit"] & (s["t"] < t)
+                t = jnp.where(take, s["t"], t)
+                prim = jnp.where(take, q_prim[qi], prim)
+    return jax.lax.stop_gradient(t), prim
+
+
+# Scenes with more quadrics than this brute-force sensibly handles fall back
+# to the XLA traversal loop.
+MAX_BRUTE_QUADRICS = 64
+
+
+def kernel_supported(scene, n_quadrics_in_scene: int,
+                     max_vmem_bytes=11 * 1024 * 1024) -> bool:
+    """Trace-time gate (shape math only — works on tracers).  Only the
+    node table must fit VMEM; leaves stream from HBM per visit."""
+    if scene.kernel_nodes is None:
+        return False
+    if n_quadrics_in_scene > MAX_BRUTE_QUADRICS:
+        return False
+    nbytes = 4 * int(np.prod(scene.kernel_nodes.shape))
+    return nbytes <= max_vmem_bytes

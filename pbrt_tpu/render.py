@@ -37,7 +37,12 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None):
     camera = setup.make_camera()
     name = setup.integrator_name
     t0 = time.time()
-    if name in ("path", "volpath"):
+    if name == "volpath":
+        from .integrators import volpath as vp
+
+        cfg = setup.make_integrator_config()
+        img = vp.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+    elif name == "path":
         from .integrators import path as pt
 
         cfg = setup.make_integrator_config()

@@ -100,6 +100,12 @@ class LightTable:
     world_radius: jnp.ndarray  # [] scene bounding-sphere radius (distant/inf)
     world_center: jnp.ndarray  # [3]
     n_samples: jnp.ndarray  # [L] i32 (light "nsamples" hint)
+    # Infinite (environment) light payload (lights/infinite.cpp:62-124) —
+    # one env map per scene (pbrt allows several; rare — first wins).
+    env_map: jnp.ndarray = None  # [H,W,3] equirect radiance map
+    env_w2l: jnp.ndarray = None  # [4,4] world->light rotation
+    env_distr: object = None  # Distribution2D over luminance * sin(theta)
+    env_light_idx: jnp.ndarray = None  # [] which light row it is (-1 none)
 
 
 @pytree_dataclass
@@ -128,11 +134,28 @@ class SceneArrays:
     q_o2w: jnp.ndarray  # [Q,4,4]
     q_params: jnp.ndarray  # [Q,4] sphere/cyl: r, zmin, zmax, phimax; disk: r, inner_r, height, phimax
     q_rev: jnp.ndarray  # [Q] bool: reverseorientation XOR swapshandedness
+    # ---- packed hot-path mirrors (fewer gathers per traversal step) ----
+    bvh_bounds: jnp.ndarray = None  # [M,6] (min3 | max3) f32
+    bvh_meta: jnp.ndarray = None  # [M,3] i32 (offset, nprims, axis)
+    prim_meta: jnp.ndarray = None  # [P,2] i32 (shape_type, shape_idx)
+    tri_verts: jnp.ndarray = None  # [T,9] f32 pre-dereferenced p0|p1|p2
+    q_packed: jnp.ndarray = None  # [Q,16] f32 w2o rows (12) | params (4)
+    nodes_packed: jnp.ndarray = None  # [M,9] f32: bounds(6), child/leaf, nprims, axis
+    leaf_packed: jnp.ndarray = None  # [NL,80] f32: 4 prim slots x 20
+    # Pallas packet-kernel tables (ops/pallas_bvh.py layout)
+    kernel_nodes: jnp.ndarray = None  # [M,16] f32
+    kernel_leaves: jnp.ndarray = None  # [NL,64] f32 (4 tri slots x 16)
+    q_prim_id: jnp.ndarray = None  # [Q] BVH-ordered prim row per quadric
+    # ---- media (core/medium.h:102 MediumInterface per primitive) ----
+    prim_medium_inside: jnp.ndarray = None  # [P] medium id or -1
+    prim_medium_outside: jnp.ndarray = None  # [P]
+    camera_medium: jnp.ndarray = None  # [] global/camera medium id or -1
     # ---- tables ----
-    materials: MaterialTable
-    lights: LightTable
-    light_distr: smp.Distribution1D  # light-picking PMF ("uniform"/"power")
+    materials: MaterialTable = None
+    lights: LightTable = None
+    light_distr: smp.Distribution1D = None  # light-picking PMF
     textures: object = None  # TextureTable (textures/textures.py)
+    media: object = None  # MediumTable (media/media.py)
 
 
 # ---------------------------------------------------------------------------
@@ -140,6 +163,25 @@ class SceneArrays:
 # ---------------------------------------------------------------------------
 
 _EMPTY44 = np.zeros((0, 4, 4), np.float32)
+
+
+class _HostNp:
+    """numpy-backed stand-in for the jnp.asarray/int32/float32 calls in
+    build paths: SceneArrays stays host-side (numpy) until the first jit
+    call uploads it in ONE transfer — eager per-array uploads through the
+    remote-TPU tunnel cost minutes for killeroo-sized scenes."""
+
+    @staticmethod
+    def asarray(x, dtype=None):
+        return np.asarray(x, dtype)
+
+    @staticmethod
+    def int32(x):
+        return np.int32(x)
+
+    @staticmethod
+    def float32(x):
+        return np.float32(x)
 
 
 @dataclasses.dataclass
@@ -150,6 +192,8 @@ class _Prim:
     arealight: int
     bmin: np.ndarray
     bmax: np.ndarray
+    medium_inside: int = -1
+    medium_outside: int = -1
 
 
 class SceneBuilder:
@@ -157,8 +201,11 @@ class SceneBuilder:
 
     def __init__(self):
         from .textures.textures import HostTextureTable
+        from .media.media import HostMediumTable
 
         self.textures = HostTextureTable()
+        self.media = HostMediumTable()
+        self.camera_medium = -1
         self.prims: list[_Prim] = []
         self.tri_indices: list[np.ndarray] = []
         self.tri_p: list[np.ndarray] = []
@@ -209,6 +256,8 @@ class SceneBuilder:
         object_to_world: Optional[tf.Transform] = None,
         material: int = -1,
         arealight: int = -1,
+        medium_inside: int = -1,
+        medium_outside: int = -1,
     ) -> None:
         """Vertices are transformed to world here (triangle.cpp:54)."""
         indices = np.asarray(indices, np.int32).reshape(-1, 3)
@@ -251,6 +300,8 @@ class SceneBuilder:
                     arealight,
                     bmin[k],
                     bmax[k],
+                    medium_inside,
+                    medium_outside,
                 )
             )
         self._n_verts += nv
@@ -264,6 +315,8 @@ class SceneBuilder:
         material: int = -1,
         arealight: int = -1,
         reverse_orientation: bool = False,
+        medium_inside: int = -1,
+        medium_outside: int = -1,
     ) -> int:
         qi = len(self.quadrics)
         rev = bool(reverse_orientation) ^ object_to_world.swaps_handedness()
@@ -292,7 +345,10 @@ class SceneBuilder:
         )
         wc = object_to_world.apply_point(corners)
         self.prims.append(
-            _Prim(q_type, qi, material, arealight, wc.min(0), wc.max(0))
+            _Prim(
+                q_type, qi, material, arealight, wc.min(0), wc.max(0),
+                medium_inside, medium_outside,
+            )
         )
         return qi
 
@@ -307,6 +363,8 @@ class SceneBuilder:
             material,
             arealight,
             kw.get("reverse_orientation", False),
+            medium_inside=kw.get("medium_inside", -1),
+            medium_outside=kw.get("medium_outside", -1),
         )
 
     # -- lights --
@@ -327,6 +385,24 @@ class SceneBuilder:
                 light_type=LIGHT_DISTANT,
                 L=np.asarray(L, np.float32),
                 dir=d / np.linalg.norm(d),
+            )
+        )
+        return len(self.lights) - 1
+
+    def add_infinite_light(self, L=(1.0, 1.0, 1.0), image=None,
+                           world_to_light=None) -> int:
+        """InfiniteAreaLight (lights/infinite.cpp): equirect env map (or
+        constant L) with luminance-weighted 2D importance sampling."""
+        self.lights.append(
+            dict(
+                light_type=LIGHT_INFINITE,
+                L=np.asarray(L, np.float32),
+                image=None if image is None else np.asarray(image, np.float32),
+                w2l=(
+                    np.eye(4, dtype=np.float32)
+                    if world_to_light is None
+                    else np.asarray(world_to_light, np.float32)
+                ),
             )
         )
         return len(self.lights) - 1
@@ -407,6 +483,12 @@ class SceneBuilder:
         prim_idx = np.array([self.prims[i].shape_idx for i in order], np.int32)
         prim_material = np.array([self.prims[i].material for i in order], np.int32)
         prim_arealight = np.array([self.prims[i].arealight for i in order], np.int32)
+        prim_med_in = np.array(
+            [self.prims[i].medium_inside for i in order], np.int32
+        )
+        prim_med_out = np.array(
+            [self.prims[i].medium_outside for i in order], np.int32
+        )
 
         if self.tri_indices:
             tri_indices = np.concatenate(self.tri_indices)
@@ -439,16 +521,100 @@ class SceneBuilder:
         materials = self._build_materials()
         lights, light_distr = self._build_lights(bmin, bmax)
 
+        tri_verts = tri_p[tri_indices].reshape(-1, 9).astype(np.float32)
+        jnp = _HostNp()  # build host-side: no eager device uploads
+
+        # ---- leaf-packed traversal mirrors (one gather per step) ----
+        # Node row: bounds(6) | child2_or_leafrow | nprims | axis.
+        q_packed_np = np.concatenate(
+            [q_w2o[:, :3, :].reshape(-1, 12), q_params], -1
+        ).astype(np.float32)
+        is_leaf = bvh.n_prims > 0
+        leaf_ids = np.cumsum(is_leaf) - 1  # leaf row per node
+        n_leaves = max(int(is_leaf.sum()), 1)
+        leaf_packed = np.zeros((n_leaves, 80), np.float32)
+        leaf_packed[:, 0::20] = -1.0  # empty slots: shape_type -1
+        leaf_nodes = np.nonzero(is_leaf)[0]
+        for k in range(4):  # slot k
+            has = bvh.n_prims[leaf_nodes] > k
+            ln = leaf_nodes[has]
+            rows = leaf_ids[ln]
+            pidx = bvh.offset[ln] + k  # BVH-ordered prim index
+            ptype = prim_type[pidx]
+            sidx = prim_idx[pidx]
+            base = 20 * k
+            leaf_packed[rows, base + 0] = ptype.astype(np.float32)
+            leaf_packed[rows, base + 1] = pidx.astype(np.float32)
+            tri_m = ptype == SHAPE_TRIANGLE
+            leaf_packed[rows[tri_m], base + 2 : base + 11] = tri_verts[
+                sidx[tri_m]
+            ]
+            q_m = ~tri_m
+            leaf_packed[rows[q_m], base + 2 : base + 18] = q_packed_np[
+                sidx[q_m]
+            ]
+        # Kernel tables: triangle-only leaf slots (node rows filled below).
+        kernel_leaves = np.zeros((n_leaves, 4, 16), np.float32)
+        kernel_leaves[:, :, 0] = -1.0
+        for k in range(4):
+            src = leaf_packed[:, 20 * k : 20 * k + 20]
+            kernel_leaves[:, k, 0] = src[:, 0]
+            kernel_leaves[:, k, 1] = src[:, 1]
+            kernel_leaves[:, k, 2:11] = src[:, 2:11]
+        # Per-quadric BVH-ordered prim row (for the brute-force quadric pass).
+        q_prim_id = np.full(max(len(self.quadrics), 1), -1, np.int32)
+        for row, (pt, pi) in enumerate(zip(prim_type, prim_idx)):
+            if pt != SHAPE_TRIANGLE:
+                q_prim_id[pi] = row
+        child_or_leaf = np.where(is_leaf, leaf_ids, bvh.offset)
+        nodes_packed = np.concatenate(
+            [
+                bvh.nodes_min.astype(np.float32),
+                bvh.nodes_max.astype(np.float32),
+                child_or_leaf[:, None].astype(np.float32),
+                bvh.n_prims[:, None].astype(np.float32),
+                bvh.axis[:, None].astype(np.float32),
+            ],
+            -1,
+        )
+        from .ops.pallas_bvh import pack_nodes_pages
+
+        kernel_nodes = pack_nodes_pages(nodes_packed)
         return SceneArrays(
             bvh_min=jnp.asarray(bvh.nodes_min),
             bvh_max=jnp.asarray(bvh.nodes_max),
             bvh_offset=jnp.asarray(bvh.offset),
             bvh_nprims=jnp.asarray(bvh.n_prims),
             bvh_axis=jnp.asarray(bvh.axis),
+            bvh_bounds=jnp.asarray(
+                np.concatenate([bvh.nodes_min, bvh.nodes_max], -1)
+            ),
+            bvh_meta=jnp.asarray(
+                np.stack([bvh.offset, bvh.n_prims, bvh.axis], -1)
+            ),
+            prim_meta=jnp.asarray(np.stack([prim_type, prim_idx], -1)),
+            tri_verts=jnp.asarray(tri_verts),
+            q_packed=jnp.asarray(q_packed_np),
+            nodes_packed=jnp.asarray(nodes_packed),
+            leaf_packed=jnp.asarray(leaf_packed),
+            kernel_nodes=jnp.asarray(kernel_nodes),
+            kernel_leaves=jnp.asarray(
+                np.concatenate(
+                    [
+                        kernel_leaves.reshape(n_leaves, 64),
+                        np.zeros((n_leaves, 64), np.float32),
+                    ],
+                    -1,
+                )  # rows padded to 128 (Mosaic HBM DMA tiling requirement)
+            ),
+            q_prim_id=jnp.asarray(q_prim_id),
             prim_type=jnp.asarray(prim_type),
             prim_idx=jnp.asarray(prim_idx),
             prim_material=jnp.asarray(prim_material),
             prim_arealight=jnp.asarray(prim_arealight),
+            prim_medium_inside=jnp.asarray(prim_med_in),
+            prim_medium_outside=jnp.asarray(prim_med_out),
+            camera_medium=jnp.int32(self.camera_medium),
             tri_indices=jnp.asarray(tri_indices),
             tri_p=jnp.asarray(tri_p),
             tri_n=jnp.asarray(tri_n),
@@ -464,9 +630,11 @@ class SceneBuilder:
             lights=lights,
             light_distr=light_distr,
             textures=self.textures.freeze(),
+            media=self.media.freeze(),
         )
 
     def _build_materials(self) -> MaterialTable:
+        jnp = _HostNp()
         mats = self.materials or [dict(mat_type=MAT_MATTE, kd=(0.5, 0.5, 0.5),
                                        ks=(0.25,) * 3, kr=(0.9,) * 3, kt=(1.0,) * 3,
                                        sigma=0.0, roughness=0.1, urough=-1.0,
@@ -538,7 +706,37 @@ class SceneBuilder:
             return (2.0 if li.get("two_sided") else 1.0) * y * area * np.pi
         return y
 
+    def _build_env(self, lights):
+        jnp = _HostNp()
+        """Env-map payload for the first infinite light with a map
+        (InfiniteAreaLight ctor, infinite.cpp:62-124): importance
+        distribution over luminance x sin(theta)."""
+        env_idx = -1
+        env_map = np.zeros((1, 1, 3), np.float32)
+        env_w2l = np.eye(4, dtype=np.float32)
+        for i, li in enumerate(lights):
+            if li.get("light_type") == LIGHT_INFINITE and li.get("image") is not None:
+                env_idx = i
+                env_map = np.asarray(li["image"], np.float32)
+                env_w2l = np.asarray(li.get("w2l", np.eye(4)), np.float32)
+                break
+        h, w = env_map.shape[:2]
+        lum = (
+            0.212671 * env_map[..., 0]
+            + 0.715160 * env_map[..., 1]
+            + 0.072169 * env_map[..., 2]
+        )
+        sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h)
+        func = np.maximum(lum * sin_theta[:, None], 0.0) + 1e-9
+        return dict(
+            env_map=jnp.asarray(env_map),
+            env_w2l=jnp.asarray(env_w2l),
+            env_distr=smp.build_distribution_2d(func),
+            env_light_idx=jnp.int32(env_idx),
+        )
+
     def _build_lights(self, bmin, bmax):
+        jnp = _HostNp()
         center = 0.5 * (bmin.min(0) + bmax.max(0))
         radius = float(np.linalg.norm(bmax.max(0) - center))
         lights = self.lights or [dict(light_type=LIGHT_POINT, L=(0.0, 0.0, 0.0), pos=(0, 0, 0))]
@@ -566,6 +764,7 @@ class SceneBuilder:
             world_radius=jnp.float32(max(radius, 1e-3)),
             world_center=jnp.asarray(center.astype(np.float32)),
             n_samples=jnp.asarray(col("n_samples", 1).astype(np.int32)),
+            **self._build_env(lights),
         )
         if self.light_strategy == "power" and self.lights:
             powers = np.array(

@@ -139,6 +139,8 @@ class _GraphicsState:
     float_textures: dict = dataclasses.field(default_factory=dict)
     spectrum_textures: dict = dataclasses.field(default_factory=dict)
     named_materials: dict = dataclasses.field(default_factory=dict)
+    medium_inside: int = -1
+    medium_outside: int = -1
 
 
 STATE_OPTIONS = 0
@@ -158,6 +160,7 @@ class PbrtApi:
         self.state = STATE_OPTIONS
         self.objects: dict = {}  # ObjectBegin instancing
         self.current_object: str | None = None
+        self.named_media: dict = {}
         # Default material: matte (api.cpp GraphicsState ctor).
         self.gs.material = self.setup.scene_builder.add_material(
             sc.MAT_MATTE, kd=(0.5, 0.5, 0.5)
@@ -492,9 +495,16 @@ class PbrtApi:
                 ps.find_one_spectrum("scale", 1.0)
             )
             mapname = ps.find_one_string("mapname", "")
-            b.lights.append(
-                dict(light_type=sc.LIGHT_INFINITE, L=L.astype(np.float32),
-                     mapname=mapname)
+            img = None
+            if mapname:
+                try:
+                    from ..utils.imageio import read_image
+
+                    img = read_image(self._resolve_path(mapname)) * L
+                except Exception as e:
+                    log.warning("env map %r failed to load: %s", mapname, e)
+            b.add_infinite_light(
+                L=L, image=img, world_to_light=self.ctm.m_inv
             )
         else:
             log.warning("light %r not yet supported", name)
@@ -537,7 +547,9 @@ class PbrtApi:
                 )
             else:
                 b.add_triangle_mesh(
-                    idx, p, n=n, uv=uv, object_to_world=o2w, material=mat
+                    idx, p, n=n, uv=uv, object_to_world=o2w, material=mat,
+                    medium_inside=gs.medium_inside,
+                    medium_outside=gs.medium_outside,
                 )
         elif name == "sphere":
             r = ps.find_one_float("radius", 1.0)
@@ -559,6 +571,8 @@ class PbrtApi:
                     o2w, r, material=mat, zmin=zmin, zmax=zmax,
                     phimax_deg=phimax,
                     reverse_orientation=gs.reverse_orientation,
+                    medium_inside=gs.medium_inside,
+                    medium_outside=gs.medium_outside,
                 )
         elif name == "disk":
             r = ps.find_one_float("radius", 1.0)
@@ -637,10 +651,46 @@ class PbrtApi:
             self._create_shape(shape_name, ps, self.ctm @ o2w, mat, gs)
 
     def medium_interface(self, inside, outside):
-        log.warning("MediumInterface: media land with the volpath integrator")
+        """(api.cpp:1492-1512): attach named media to subsequent shapes; in
+        the options block, sets the camera/global exterior medium."""
+        med_in = self.named_media.get(inside, -1) if inside else -1
+        med_out = self.named_media.get(outside, -1) if outside else -1
+        if self.state == STATE_OPTIONS:
+            self.setup.scene_builder.camera_medium = med_in
+        self.gs.medium_inside = med_in
+        self.gs.medium_outside = med_out
 
     def make_named_medium(self, name, params):
-        log.warning("MakeNamedMedium: media land with the volpath integrator")
+        """MakeMedium factory (api.cpp:724-768)."""
+        ps = ParamSet.from_decls(params)
+        mtype = ps.find_one_string("type", "homogeneous")
+        b = self.setup.scene_builder
+        sigma_a = ps.find_one_spectrum("sigma_a", (0.0011, 0.0024, 0.014))
+        sigma_s = ps.find_one_spectrum("sigma_s", (2.55, 3.21, 3.77))
+        scale = ps.find_one_float("scale", 1.0)
+        g = ps.find_one_float("g", 0.0)
+        if mtype == "homogeneous":
+            mid = b.media.add_homogeneous(sigma_a * scale, sigma_s * scale, g)
+        elif mtype == "heterogeneous":
+            nx = ps.find_one_int("nx", 1)
+            ny = ps.find_one_int("ny", 1)
+            nz = ps.find_one_int("nz", 1)
+            density = ps.find_floats("density")
+            p0 = ps.find_one_point("p0", (0, 0, 0))
+            p1 = ps.find_one_point("p1", (1, 1, 1))
+            # medium-to-world = CTM . Translate(p0) . Scale(p1-p0)
+            # (api.cpp:756-760); store world->medium.
+            m2w = self.ctm @ tf.translate(*p0) @ tf.scale(
+                *(np.maximum(p1 - p0, 1e-9))
+            )
+            mid = b.media.add_grid(
+                sigma_a * scale, sigma_s * scale, g, nx, ny, nz,
+                density, w2m=m2w.m_inv,
+            )
+        else:
+            log.warning("medium type %r unsupported", mtype)
+            return
+        self.named_media[name] = mid
 
     def finalize(self) -> RenderSetup:
         return self.setup

@@ -53,6 +53,68 @@ def xform_vector(m, v):
     return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
 
 
+def intersect_sphere_object(oo, od, t_max, radius, z_min, z_max, phi_max):
+    """Lightweight t-only sphere test, ray already in object space (the
+    traversal hot loop; full attributes come from intersect_sphere in
+    hit_record)."""
+    a = dot(od, od)
+    b = 2.0 * dot(oo, od)
+    c = dot(oo, oo) - radius * radius
+    ok, t0, t1 = _quadratic(a, b, c)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        z_ok = jnp.where(z_min > -radius, p[..., 2] >= z_min, True) & jnp.where(
+            z_max < radius, p[..., 2] <= z_max, True
+        )
+        return z_ok & (phi <= phi_max)
+
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & clip(t0)
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & clip(t1)
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    return {"hit": hit, "t": jnp.where(hit, t, jnp.inf)}
+
+
+def intersect_cylinder_object(oo, od, t_max, radius, z_min, z_max, phi_max):
+    a = od[..., 0] ** 2 + od[..., 1] ** 2
+    b = 2.0 * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1])
+    c = oo[..., 0] ** 2 + oo[..., 1] ** 2 - radius * radius
+    ok, t0, t1 = _quadratic(a, b, c)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        return (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
+
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & clip(t0)
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & clip(t1)
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    return {"hit": hit, "t": jnp.where(hit, t, jnp.inf)}
+
+
+def intersect_disk_object(oo, od, t_max, radius, inner_radius, height, phi_max):
+    dz = jnp.where(od[..., 2] == 0.0, 1e-20, od[..., 2])
+    t = (height - oo[..., 2]) / dz
+    p = oo + t[..., None] * od
+    dist2 = p[..., 0] ** 2 + p[..., 1] ** 2
+    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2 * jnp.pi, phi)
+    hit = (
+        (od[..., 2] != 0.0)
+        & (t > 0.0)
+        & (t < t_max)
+        & (dist2 <= radius * radius)
+        & (dist2 >= inner_radius * inner_radius)
+        & (phi <= phi_max)
+    )
+    return {"hit": hit, "t": jnp.where(hit, t, jnp.inf)}
+
+
 def intersect_sphere(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
     """Sphere::Intersect (sphere.cpp:70-236), batched & branch-free.
 

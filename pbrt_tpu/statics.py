@@ -21,6 +21,8 @@ class SceneStatics:
     tex_ids: tuple  # texture ids referenced by materials ((), if none)
     tex_meta: tuple = ()  # per-row (tex_type, child1, child2) — static
     # control flow for the single-pass texture evaluation
+    medium_types: tuple = ()  # medium types present (volpath specialization)
+    has_media: bool = False
 
     @property
     def has_textures(self) -> bool:
@@ -52,10 +54,25 @@ def scene_statics(scene) -> SceneStatics:
                 [tuple(f) for f in np.asarray(scene.textures.fparams).tolist()],
             )
         )
+    medium_types = ()
+    has_media = False
+    if scene.media is not None and scene.prim_medium_inside is not None:
+        used = set()
+        for col in (scene.prim_medium_inside, scene.prim_medium_outside):
+            ids = np.asarray(col)
+            used.update(int(i) for i in ids[ids >= 0])
+        cm = int(np.asarray(scene.camera_medium))
+        if cm >= 0:
+            used.add(cm)
+        med_types = np.asarray(scene.media.med_type)
+        medium_types = tuple(sorted({int(med_types[i]) for i in used}))
+        has_media = len(used) > 0
     return SceneStatics(
         mat_types=mat_types,
         light_types=light_types,
         quadric_types=quadric_types,
         tex_ids=tuple(sorted(tex_ids)),
         tex_meta=tex_meta,
+        medium_types=medium_types,
+        has_media=has_media,
     )
