@@ -74,6 +74,9 @@ def main():
         return jnp.sum(L), n_rays
 
     step = jax.jit(batch)
+    # One-time upload: numpy-leaf pytrees re-upload per jit call otherwise.
+    scene = jax.device_put(jax.tree_util.tree_map(jnp.asarray, scene))
+    camera = jax.device_put(camera)
     setup_s = time.time() - t_setup
 
     # Pixels processed in fixed 40k-ray chunks (the largest batch validated

@@ -68,6 +68,9 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=AOConfig(), filt=None):
     from ..statics import scene_statics
 
     statics = scene_statics(scene)
+    import jax as _jax
+    scene = _jax.device_put(scene)  # one-time upload (see path.render)
+    camera = _jax.device_put(camera)
 
     def batch(scene, camera, film_state, pixels, s):
         n = pixels.shape[0]

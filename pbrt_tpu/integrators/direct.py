@@ -62,7 +62,7 @@ def li_direct(
         from .path import eval_scene_textures
 
         tex_vals = eval_scene_textures(scene, rec, statics)
-        mat = bx.gather_material(scene.materials, rec["material"], tex_vals)
+        mat = bx.gather_material(scene.materials, rec["material"], tex_vals, mat_types, uv=rec["uv"])
         frame = bx.make_frame(rec["ns"], rec["dpdu"])
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
@@ -108,6 +108,9 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=DirectLightingConfig(), fil
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
     statics = scene_statics(scene)
+    import jax as _jax
+    scene = _jax.device_put(scene)  # one-time upload (see path.render)
+    camera = _jax.device_put(camera)
 
     def batch(scene, camera, film_state, pixels, s):
         n = pixels.shape[0]

@@ -104,7 +104,7 @@ def li_path(
 
         # ---- shading setup ----
         tex_vals = eval_scene_textures(scene, rec, statics)
-        mat = bx.gather_material(scene.materials, rec["material"], tex_vals)
+        mat = bx.gather_material(scene.materials, rec["material"], tex_vals, mat_types, uv=rec["uv"])
         frame = bx.make_frame(rec["ns"], rec["dpdu"])
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
@@ -221,6 +221,12 @@ def render(
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
     statics = scene_statics(scene)
+    # One-time host->device upload.  SceneArrays leaves are numpy (build
+    # stays host-side); passing them to jit directly re-uploads the whole
+    # scene through the (remote) device tunnel EVERY call — measured ~300ms
+    # per 17MB killeroo scene per step on the axon TPU.
+    scene = jax.device_put(scene)
+    camera = jax.device_put(camera)
 
     start = 0
     if checkpoint_path:

@@ -31,10 +31,14 @@ from ..core import sampling as smp
 from ..core.sampling import INV_PI
 from . import microfacet as mf
 from ..scene import (
+    MAT_DISNEY,
+    MAT_FOURIER,
     MAT_GLASS,
+    MAT_HAIR,
     MAT_MATTE,
     MAT_METAL,
     MAT_MIRROR,
+    MAT_MIX,
     MAT_PLASTIC,
     MAT_SUBSTRATE,
     MAT_UBER,
@@ -151,6 +155,26 @@ def cosine_pdf(wo, wi):
     )
 
 
+def _cosine_sample_wi_transmit(wo, u):
+    """LambertianTransmission::Sample_f (reflection.cpp:800): cosine sample
+    the hemisphere OPPOSITE wo."""
+    wi = smp.cosine_sample_hemisphere(u)
+    return jnp.where((cos_theta(wo) > 0.0)[..., None], wi * vec(1.0, 1.0, -1.0), wi)
+
+
+def cosine_transmit_pdf(wo, wi):
+    return jnp.where(
+        ~same_hemisphere(wo, wi), abs_cos_theta(wi) * INV_PI, 0.0
+    )
+
+
+def schlick_fresnel(rs, cos_t):
+    """SchlickFresnel (reflection.h FresnelBlend::SchlickFresnel): rs [.,3]."""
+    c = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    pow5 = (c * c) * (c * c) * c
+    return rs + pow5[..., None] * (1.0 - rs)
+
+
 # ---------------------------------------------------------------------------
 # Microfacet reflection lobe (reflection.cpp:415-472)
 # ---------------------------------------------------------------------------
@@ -180,12 +204,156 @@ def microfacet_reflection_pdf(ax, ay, wo, wi):
     return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
 
 
+def microfacet_reflection_pdf_raw(ax, ay, wo, wi):
+    """The reflection map's TRUE density at wi, including below-horizon
+    leakage (wh = (wo+wi)/|..| inverts reflect() in both hemispheres).  Used
+    when combining lobe pdfs on the SAMPLING side: a mixture that contains
+    transmission lobes must count this mass at transmit-side wi or those
+    lobes' contributions are over-weighted.  (The eval/NEE pdf keeps pbrt's
+    hemisphere-zeroed form, reflection.cpp BSDF::Pdf — MIS stays unbiased
+    for any consistent weight.)"""
+    wh_r = wo + wi
+    degen = jnp.sum(wh_r * wh_r, -1) < 1e-16
+    wh = normalize(jnp.where(degen[..., None], vec(0.0, 0.0, 1.0), wh_r))
+    pdf = mf.tr_pdf_visible(wo, wh, ax, ay) / jnp.maximum(
+        4.0 * dot(wo, wh), 1e-12
+    )
+    return jnp.where(degen | (dot(wo, wh) <= 0.0), 0.0, pdf)
+
+
 def microfacet_reflection_sample(ax, ay, wo, u):
+    """Returns (wi, raw map pdf).  The raw pdf is NOT zeroed for
+    below-horizon wi — BSDF::Sample_f keeps the chosen lobe's own pdf there
+    (reflection.cpp:811-824, 744-752); callers combining lobes must use it
+    for the chosen-sample density or transmission lobes get biased."""
     wh = mf.tr_sample_wh_visible(wo, u, ax, ay)
     wi = reflect(wo, wh)
-    ok = same_hemisphere(wo, wi) & (dot(wo, wh) > 0.0)
     pdf = mf.tr_pdf_visible(wo, wh, ax, ay) / jnp.maximum(4.0 * dot(wo, wh), 1e-12)
-    return wi, jnp.where(ok, pdf, 0.0)
+    return wi, jnp.where(dot(wo, wh) > 0.0, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Microfacet transmission lobe (reflection.cpp:471-538 MicrofacetTransmission)
+# ---------------------------------------------------------------------------
+
+def _transmit_half(wo, wi, eta_mat):
+    """Half vector + per-lane eta for transmission; eta_mat = interior IOR.
+    Returns (wh oriented to +z, eta = etaT/etaI for this wo side)."""
+    eta = jnp.where(cos_theta(wo) > 0.0, eta_mat, 1.0 / eta_mat)
+    wh = wo + wi * eta[..., None]
+    wh = normalize(wh)
+    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    return wh, eta
+
+
+def microfacet_transmission_f(T, ax, ay, eta_mat, wo, wi):
+    """MicrofacetTransmission::f (reflection.cpp:492): radiance transport
+    (factor = 1/eta)."""
+    co = cos_theta(wo)
+    ci = cos_theta(wi)
+    wh, eta = _transmit_half(wo, wi, eta_mat)
+    dwo = dot(wo, wh)
+    dwi = dot(wi, wh)
+    F = fresnel_dielectric(dwo, jnp.ones_like(eta_mat), eta_mat)
+    sqrt_denom = dwo + eta * dwi
+    factor = 1.0 / eta  # radiance transport mode
+    d = mf.tr_d(wh, ax, ay)
+    g = mf.tr_g(wo, wi, ax, ay)
+    val = (
+        (1.0 - F)
+        * jnp.abs(d * g * eta * eta * jnp.abs(dwi) * jnp.abs(dwo) * factor * factor)
+        / jnp.maximum(jnp.abs(ci * co) * sqrt_denom * sqrt_denom, 1e-12)
+    )
+    bad = same_hemisphere(wo, wi) | (ci == 0.0) | (co == 0.0) | (dwo * dwi > 0.0)
+    return jnp.where(bad[..., None], 0.0, T * val[..., None])
+
+
+def microfacet_transmission_pdf(ax, ay, eta_mat, wo, wi):
+    """(reflection.cpp:522) pdf_wh * |dwh/dwi|."""
+    wh, eta = _transmit_half(wo, wi, eta_mat)
+    dwo = dot(wo, wh)
+    dwi = dot(wi, wh)
+    sqrt_denom = dwo + eta * dwi
+    dwh_dwi = jnp.abs(
+        (eta * eta * dwi) / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12)
+    )
+    pdf = mf.tr_pdf_visible(wo, wh, ax, ay) * dwh_dwi
+    bad = same_hemisphere(wo, wi) | (dwo * dwi > 0.0)
+    return jnp.where(bad, 0.0, pdf)
+
+
+def microfacet_transmission_sample(ax, ay, eta_mat, wo, u):
+    """MicrofacetTransmission::Sample_f (reflection.cpp:538): sample wh,
+    refract wo about it.  Returns (wi, pdf, ok)."""
+    from ..core.vecmath import refract as _refract
+
+    wh = mf.tr_sample_wh_visible(wo, u, ax, ay)
+    # eta for Refract = etaI/etaT given wo's side (reflection.cpp:547-549).
+    going_in = cos_theta(wo) > 0.0
+    eta_ratio = jnp.where(going_in, 1.0 / eta_mat, eta_mat)
+    whf = jnp.where((dot(wo, wh) < 0.0)[..., None], -wh, wh)
+    ok, wi = _refract(wo, whf, eta_ratio)
+    ok = ok & (dot(wo, wh) > 0.0) & ~same_hemisphere(wo, wi)
+    pdf = microfacet_transmission_pdf(ax, ay, eta_mat, wo, wi)
+    return wi, jnp.where(ok, pdf, 0.0), ok
+
+
+# ---------------------------------------------------------------------------
+# FresnelBlend (substrate) lobe (reflection.cpp:404-413, 555-580)
+# ---------------------------------------------------------------------------
+
+def fresnel_blend_f(rd, rs, ax, ay, wo, wi):
+    """FresnelBlend::f (reflection.cpp:555): Ashikhmin-Shirley diffuse +
+    Schlick-fresnel microfacet gloss."""
+    ci = abs_cos_theta(wi)
+    co = abs_cos_theta(wo)
+
+    def pow5(x):
+        return (x * x) * (x * x) * x
+
+    diffuse = (
+        (28.0 / (23.0 * jnp.pi))
+        * rd
+        * (1.0 - rs)
+        * (1.0 - pow5(1.0 - 0.5 * ci))[..., None]
+        * (1.0 - pow5(1.0 - 0.5 * co))[..., None]
+    )
+    wh = wi + wo
+    degenerate = jnp.sum(wh * wh, -1) == 0.0
+    wh_n = normalize(jnp.where(degenerate[..., None], vec(0.0, 0.0, 1.0), wh))
+    d = mf.tr_d(wh_n, ax, ay)
+    spec = (
+        d / jnp.maximum(4.0 * jnp.abs(dot(wi, wh_n)) * jnp.maximum(ci, co), 1e-12)
+    )[..., None] * schlick_fresnel(rs, dot(wi, wh_n))
+    f = diffuse + spec
+    ok = same_hemisphere(wo, wi) & ~degenerate
+    return jnp.where(ok[..., None], f, 0.0)
+
+
+def fresnel_blend_pdf(ax, ay, wo, wi):
+    """FresnelBlend::Pdf (reflection.cpp:594): .5 (cosine + wh pdf)."""
+    wh = normalize(wo + wi)
+    pdf_wh = mf.tr_pdf_visible(wo, wh, ax, ay) / jnp.maximum(
+        4.0 * dot(wo, wh), 1e-12
+    )
+    return jnp.where(
+        same_hemisphere(wo, wi),
+        0.5 * (abs_cos_theta(wi) * INV_PI + pdf_wh),
+        0.0,
+    )
+
+
+def fresnel_blend_sample(ax, ay, wo, u):
+    """FresnelBlend::Sample_f (reflection.cpp:580): u0 < .5 cosine sample,
+    else sample wh and reflect."""
+    pick_diff = u[..., 0] < 0.5
+    u0 = jnp.where(pick_diff, 2.0 * u[..., 0], 2.0 * (u[..., 0] - 0.5))
+    u_re = jnp.stack([jnp.minimum(u0, 1.0 - 1e-7), u[..., 1]], -1)
+    wi_d = _cosine_sample_wi(wo, u_re)
+    wh = mf.tr_sample_wh_visible(wo, u_re, ax, ay)
+    wi_s = reflect(wo, wh)
+    wi = jnp.where(pick_diff[..., None], wi_d, wi_s)
+    return wi, fresnel_blend_pdf(ax, ay, wo, wi)
 
 
 # ---------------------------------------------------------------------------
@@ -199,37 +367,89 @@ def microfacet_reflection_sample(ax, ay, wo, u):
 # ---------------------------------------------------------------------------
 
 def eval_material(mat, wo, wi, mat_types):
-    """BSDF::f + BSDF::Pdf over non-specular lobes.
+    """BSDF::f + BSDF::Pdf over non-specular lobes (EstimateDirect's
+    BSDF_ALL & ~BSDF_SPECULAR query: pdf averaged over matching NON-specular
+    lobes, reflection.cpp BSDF::Pdf).
 
     mat_types: static tuple of material type ids present (specialization).
-    Specular-only materials (mirror, glass) contribute f=0, pdf=0.
+    Specular-only materials (mirror, specular glass) contribute f=0, pdf=0.
     """
+    if MAT_MIX in mat_types:
+        # MixMaterial (materials/mixmat.cpp:46): both sub-materials' lobe
+        # sets, scaled by amt / (1-amt).  Sub-dicts are resolved by
+        # gather_material; recursion depth is 1 (pbrt allows nesting, we
+        # flatten one level — nested mixes resolve to their first material).
+        sub_types = tuple(x for x in mat_types if x != MAT_MIX) or (MAT_MATTE,)
+        f_a, pdf_a = _eval_one(mat["sub_a"], wo, wi, sub_types)
+        f_b, pdf_b = _eval_one(mat["sub_b"], wo, wi, sub_types)
+        amt = mat["mix_amount"]
+        is_mix = mat["type"] == MAT_MIX
+        f_mix = amt * f_a + (1.0 - amt) * f_b
+        pdf_mix = 0.5 * (pdf_a + pdf_b)
+        f0, pdf0 = _eval_one(mat, wo, wi, mat_types)
+        return (
+            jnp.where(is_mix[..., None], f_mix, f0),
+            jnp.where(is_mix, pdf_mix, pdf0),
+        )
+    return _eval_one(mat, wo, wi, mat_types)
+
+
+def _eval_one(mat, wo, wi, mat_types):
     t = mat["type"]
     f = jnp.zeros(wo.shape, jnp.float32)
     pdf = jnp.zeros(wo.shape[:-1], jnp.float32)
+    refl = same_hemisphere(wo, wi)
 
     if MAT_MATTE in mat_types:
         m = t == MAT_MATTE
         f_m = oren_nayar_f(mat["kd"], mat["sigma"], wo, wi)
-        f_m = jnp.where(same_hemisphere(wo, wi)[..., None], f_m, 0.0)
+        f_m = jnp.where(refl[..., None], f_m, 0.0)
         f = jnp.where(m[..., None], f_m, f)
         pdf = jnp.where(m, cosine_pdf(wo, wi), pdf)
 
-    if MAT_PLASTIC in mat_types or MAT_UBER in mat_types or MAT_SUBSTRATE in mat_types:
+    if MAT_PLASTIC in mat_types:
         # plastic = lambertian(kd) + TR-microfacet(ks, FresnelDielectric 1.5)
         # (materials/plastic.cpp:46-60).
-        m = (t == MAT_PLASTIC) | (t == MAT_UBER)
+        m = t == MAT_PLASTIC
         lam_f = mat["kd"] * INV_PI
         fres = lambda c: fresnel_dielectric(c, 1.0, 1.5)[..., None]
         mfr = microfacet_reflection_f(mat["ks"], mat["ax"], mat["ay"], wo, wi, fres)
-        f_m = jnp.where(
-            same_hemisphere(wo, wi)[..., None], lam_f + mfr, mfr * 0.0
-        )
+        f_m = jnp.where(refl[..., None], lam_f + mfr, mfr * 0.0)
         pdf_m = 0.5 * (
             cosine_pdf(wo, wi) + microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi)
         )
         f = jnp.where(m[..., None], f_m, f)
         pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_UBER in mat_types:
+        # uber (materials/uber.cpp:42-98): op*kd lambert + op*ks microfacet
+        # (+ specular kr/kt/pass-through lobes, which eval as 0 here).
+        m = t == MAT_UBER
+        op = mat["opacity"]
+        kd_e = op * mat["kd"]
+        ks_e = op * mat["ks"]
+        fres = lambda c: fresnel_dielectric(c, 1.0, mat["eta"])[..., None]
+        lam_f = kd_e * INV_PI
+        mfr = microfacet_reflection_f(ks_e, mat["ax"], mat["ay"], wo, wi, fres)
+        has_d = jnp.any(kd_e > 0.0, -1)
+        has_g = jnp.any(ks_e > 0.0, -1)
+        n_nonspec = jnp.maximum(
+            has_d.astype(jnp.float32) + has_g.astype(jnp.float32), 1.0
+        )
+        f_m = jnp.where(refl[..., None], lam_f + mfr, mfr * 0.0)
+        pdf_m = (
+            cosine_pdf(wo, wi) * has_d
+            + microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi) * has_g
+        ) / n_nonspec
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_SUBSTRATE in mat_types:
+        # substrate = FresnelBlend(Kd, Ks) (materials/substrate.cpp:44-58).
+        m = t == MAT_SUBSTRATE
+        f_m = fresnel_blend_f(mat["kd"], mat["ks"], mat["ax"], mat["ay"], wo, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, fresnel_blend_pdf(mat["ax"], mat["ay"], wo, wi), pdf)
 
     if MAT_METAL in mat_types:
         m = t == MAT_METAL
@@ -244,7 +464,71 @@ def eval_material(mat, wo, wi, mat_types):
             m, microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi), pdf
         )
 
-    # MAT_MIRROR / MAT_GLASS: specular only -> f = 0, pdf = 0.
+    if MAT_GLASS in mat_types:
+        # Rough glass only (roughness > 0): microfacet refl + trans
+        # (materials/glass.cpp:62-87); specular glass evals to 0.
+        m = (t == MAT_GLASS) & mat["is_rough"]
+        fres = lambda c: fresnel_dielectric(c, 1.0, mat["eta"])[..., None]
+        f_r = microfacet_reflection_f(mat["kr"], mat["ax"], mat["ay"], wo, wi, fres)
+        f_t = microfacet_transmission_f(
+            mat["kt"], mat["ax"], mat["ay"], mat["eta"], wo, wi
+        )
+        pdf_m = 0.5 * (
+            microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi)
+            + microfacet_transmission_pdf(mat["ax"], mat["ay"], mat["eta"], wo, wi)
+        )
+        f = jnp.where(m[..., None], f_r + f_t, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_TRANSLUCENT in mat_types:
+        # translucent (materials/translucent.cpp:47-76): kr-weighted reflect
+        # lobes + kt-weighted transmit lobes (Lambertian + microfacet each).
+        m = t == MAT_TRANSLUCENT
+        r_w = mat["kr"]  # "reflect" spectrum
+        t_w = mat["kt"]  # "transmit" spectrum
+        lam_r = r_w * mat["kd"] * INV_PI
+        lam_t = t_w * mat["kd"] * INV_PI
+        fres = lambda c: fresnel_dielectric(c, 1.0, 1.5)[..., None]
+        mf_r = microfacet_reflection_f(r_w * mat["ks"], mat["ax"], mat["ay"], wo, wi, fres)
+        mf_t = microfacet_transmission_f(
+            t_w * mat["ks"], mat["ax"], mat["ay"], jnp.full_like(mat["eta"], 1.5), wo, wi
+        )
+        f_m = jnp.where(refl[..., None], lam_r + mf_r, lam_t + mf_t)
+        pdf_refl = cosine_pdf(wo, wi) + microfacet_reflection_pdf(
+            mat["ax"], mat["ay"], wo, wi
+        )
+        pdf_trans = cosine_transmit_pdf(wo, wi) + microfacet_transmission_pdf(
+            mat["ax"], mat["ay"], jnp.full_like(mat["eta"], 1.5), wo, wi
+        )
+        pdf_m = 0.25 * (pdf_refl + pdf_trans)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_DISNEY in mat_types:
+        from . import disney as dz
+
+        m = t == MAT_DISNEY
+        f_m, pdf_m = dz.disney_eval(mat, wo, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_HAIR in mat_types:
+        from . import hair as hz
+
+        m = t == MAT_HAIR
+        f_m, pdf_m = hz.hair_eval(mat, wo, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_FOURIER in mat_types:
+        from . import fourier as fz
+
+        m = t == MAT_FOURIER
+        f_m, pdf_m = fz.fourier_eval(mat, wo, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    # MAT_MIRROR / specular MAT_GLASS: specular only -> f = 0, pdf = 0.
     return f, pdf
 
 
@@ -253,9 +537,55 @@ def sample_material(mat, wo, u, mat_types):
 
     u: [., 2] (the 2D BSDF sample; the lobe choice consumes u[0] and remaps,
     matching pbrt).  Returns dict: wi, f, pdf, is_specular, valid.
-    Specular lobes return f_over_pdf premultiplied convention:
-    here f is the delta weight (F * spectrum / |cos|) and pdf = 1.
+    Specular lobes use the convention: f is the delta weight
+    (F * spectrum / |cos|) and pdf = the lobe-selection probability.
     """
+    if MAT_MIX in mat_types:
+        # Mix lanes: pick sub-material a with prob 1/2 (u0 remapped), f/pdf
+        # blended — a consistent estimator of the scaled-lobe-union BSDF.
+        pick_a = u[..., 0] < 0.5
+        u0 = jnp.where(pick_a, 2.0 * u[..., 0], 2.0 * (u[..., 0] - 0.5))
+        u_re = jnp.stack([jnp.minimum(u0, 1.0 - 1e-7), u[..., 1]], -1)
+        sub_types = tuple(x for x in mat_types if x != MAT_MIX) or (MAT_MATTE,)
+        s_a = _sample_one(mat["sub_a"], wo, u_re, sub_types)
+        s_b = _sample_one(mat["sub_b"], wo, u_re, sub_types)
+        amt = mat["mix_amount"]
+        is_mix = mat["type"] == MAT_MIX
+        chosen = {
+            k: jnp.where(
+                pick_a[..., None] if s_a[k].ndim == 2 else pick_a,
+                s_a[k], s_b[k],
+            )
+            for k in ("wi", "is_specular")
+        }
+        wi_m = chosen["wi"]
+        spec_m = chosen["is_specular"]
+        # Non-specular mix lanes: blend f, average pdf over both subs.
+        f_a, pdf_a = _eval_one(mat["sub_a"], wo, wi_m, sub_types)
+        f_b, pdf_b = _eval_one(mat["sub_b"], wo, wi_m, sub_types)
+        f_mix = amt * f_a + (1.0 - amt) * f_b
+        pdf_mix = 0.5 * (pdf_a + pdf_b)
+        # Specular chosen lobe: keep the chosen sub's delta weight scaled.
+        w_spec = jnp.where(
+            pick_a[..., None], amt * s_a["f"], (1.0 - amt) * s_b["f"]
+        )
+        pdf_spec = 0.5 * jnp.where(pick_a, s_a["pdf"], s_b["pdf"])
+        f_mix = jnp.where(spec_m[..., None], w_spec, f_mix)
+        pdf_mix = jnp.where(spec_m, pdf_spec, pdf_mix)
+
+        s0 = _sample_one(mat, wo, u, mat_types)
+        out = {
+            "wi": jnp.where(is_mix[..., None], wi_m, s0["wi"]),
+            "f": jnp.where(is_mix[..., None], f_mix, s0["f"]),
+            "pdf": jnp.where(is_mix, pdf_mix, s0["pdf"]),
+            "is_specular": jnp.where(is_mix, spec_m, s0["is_specular"]),
+        }
+        out["valid"] = (out["pdf"] > 0.0) & jnp.any(out["f"] != 0.0, -1)
+        return out
+    return _sample_one(mat, wo, u, mat_types)
+
+
+def _sample_one(mat, wo, u, mat_types):
     t = mat["type"]
     n = wo.shape[0]
     wi = jnp.zeros_like(wo)
@@ -272,8 +602,8 @@ def sample_material(mat, wo, u, mat_types):
         f = jnp.where(m[..., None], f_m, f)
         pdf = jnp.where(m, pdf_m, pdf)
 
-    if MAT_PLASTIC in mat_types or MAT_UBER in mat_types:
-        m = (t == MAT_PLASTIC) | (t == MAT_UBER)
+    if MAT_PLASTIC in mat_types:
+        m = t == MAT_PLASTIC
         # 2 matching lobes: comp = floor(2 u0); remap u0 (reflection.cpp:725).
         pick_spec_lobe = u[..., 0] >= 0.5
         u0 = jnp.where(pick_spec_lobe, 2.0 * (u[..., 0] - 0.5), 2.0 * u[..., 0])
@@ -350,17 +680,224 @@ def sample_material(mat, wo, u, mat_types):
         pdf = jnp.where(m, pdf_m, pdf)
         is_spec = is_spec | m
 
+    if MAT_GLASS in mat_types:
+        # Rough glass (materials/glass.cpp:62-87): 2 matching non-specular
+        # lobes; pick by u0 halves, remap, f summed, pdf averaged.
+        m = (t == MAT_GLASS) & mat["is_rough"]
+        pick_t = u[..., 0] >= 0.5
+        u0 = jnp.where(pick_t, 2.0 * (u[..., 0] - 0.5), 2.0 * u[..., 0])
+        u_re = jnp.stack([jnp.minimum(u0, 1.0 - 1e-7), u[..., 1]], -1)
+        wi_r, pdf_r_raw = microfacet_reflection_sample(mat["ax"], mat["ay"], wo, u_re)
+        wi_t, _, ok_t = microfacet_transmission_sample(
+            mat["ax"], mat["ay"], mat["eta"], wo, u_re
+        )
+        wi_m = jnp.where(pick_t[..., None], wi_t, wi_r)
+        fres = lambda c: fresnel_dielectric(c, 1.0, mat["eta"])[..., None]
+        f_r = microfacet_reflection_f(mat["kr"], mat["ax"], mat["ay"], wo, wi_m, fres)
+        f_t = microfacet_transmission_f(
+            mat["kt"], mat["ax"], mat["ay"], mat["eta"], wo, wi_m
+        )
+        pdf_m = 0.5 * (
+            microfacet_reflection_pdf_raw(mat["ax"], mat["ay"], wo, wi_m)
+            + microfacet_transmission_pdf(mat["ax"], mat["ay"], mat["eta"], wo, wi_m)
+        )
+        bad_t = pick_t & ~ok_t
+        wi = jnp.where(m[..., None], wi_m, wi)
+        f = jnp.where(m[..., None], jnp.where(bad_t[..., None], 0.0, f_r + f_t), f)
+        pdf = jnp.where(m, jnp.where(bad_t, 0.0, pdf_m), pdf)
+
+    if MAT_SUBSTRATE in mat_types:
+        m = t == MAT_SUBSTRATE
+        wi_m, pdf_m = fresnel_blend_sample(mat["ax"], mat["ay"], wo, u)
+        f_m = fresnel_blend_f(mat["kd"], mat["ks"], mat["ax"], mat["ay"], wo, wi_m)
+        wi = jnp.where(m[..., None], wi_m, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_TRANSLUCENT in mat_types:
+        # 4 matching lobes; pick by u0 quarters (reflection.cpp:725 rule).
+        m = t == MAT_TRANSLUCENT
+        lobe = jnp.clip((u[..., 0] * 4.0).astype(jnp.int32), 0, 3)
+        u0 = jnp.minimum(u[..., 0] * 4.0 - lobe.astype(jnp.float32), 1.0 - 1e-7)
+        u_re = jnp.stack([u0, u[..., 1]], -1)
+        eta15 = jnp.full_like(mat["eta"], 1.5)
+        wi_lr = _cosine_sample_wi(wo, u_re)
+        wi_lt = _cosine_sample_wi_transmit(wo, u_re)
+        wi_mr, pdf_mr_raw = microfacet_reflection_sample(mat["ax"], mat["ay"], wo, u_re)
+        wi_mt, _, ok_mt = microfacet_transmission_sample(
+            mat["ax"], mat["ay"], eta15, wo, u_re
+        )
+        wi_m = jnp.where(
+            (lobe == 0)[..., None], wi_lr,
+            jnp.where((lobe == 1)[..., None], wi_lt,
+                      jnp.where((lobe == 2)[..., None], wi_mr, wi_mt)),
+        )
+        f_m, _ = _eval_one(
+            {**mat, "type": jnp.full_like(t, MAT_TRANSLUCENT)},
+            wo, wi_m, (MAT_TRANSLUCENT,),
+        )
+        # Sampling-side combined pdf: the micro-R term uses the map's TRUE
+        # density (incl. below-horizon leakage) so transmit-side samples
+        # aren't over-weighted.
+        pdf_m = 0.25 * (
+            cosine_pdf(wo, wi_m)
+            + cosine_transmit_pdf(wo, wi_m)
+            + microfacet_reflection_pdf_raw(mat["ax"], mat["ay"], wo, wi_m)
+            + microfacet_transmission_pdf(mat["ax"], mat["ay"], eta15, wo, wi_m)
+        )
+        # Failed refraction (TIR) on the microfacet-transmission pick:
+        # invalid sample (Sample_f returns 0, reflection.cpp:538-546).
+        bad = (lobe == 3) & ~ok_mt
+        f_m = jnp.where(bad[..., None], 0.0, f_m)
+        pdf_m = jnp.where(bad, 0.0, pdf_m)
+        wi = jnp.where(m[..., None], wi_m, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_UBER in mat_types:
+        # Dynamic matching-lobe set: pass-through(1-op), diffuse(op*kd),
+        # gloss(op*ks), specular refl(op*kr), specular trans(op*kt)
+        # (materials/uber.cpp:42-98); lobe = floor(u0 * nmatch) over the
+        # present lobes in that order, u0 remapped (reflection.cpp:714-737).
+        m = t == MAT_UBER
+        op = mat["opacity"]
+        pass_w = (1.0 - op)
+        kd_e = op * mat["kd"]
+        ks_e = op * mat["ks"]
+        kr_e = op * mat["kr"]
+        kt_e = op * mat["kt"]
+        present = [
+            jnp.any(pass_w > 0.0, -1),
+            jnp.any(kd_e > 0.0, -1),
+            jnp.any(ks_e > 0.0, -1),
+            jnp.any(kr_e > 0.0, -1),
+            jnp.any(kt_e > 0.0, -1),
+        ]
+        counts = [p.astype(jnp.float32) for p in present]
+        nmatch = jnp.maximum(sum(counts), 1.0)
+        idx = jnp.clip((u[..., 0] * nmatch).astype(jnp.int32), 0, 4)
+        u0 = jnp.minimum(u[..., 0] * nmatch - idx.astype(jnp.float32), 1.0 - 1e-7)
+        u_re = jnp.stack([u0, u[..., 1]], -1)
+        cum = [jnp.zeros_like(counts[0])]
+        for c in counts[:-1]:
+            cum.append(cum[-1] + c)
+        choose = [
+            present[i] & (idx == cum[i].astype(jnp.int32)) for i in range(5)
+        ]
+        eta = mat["eta"]
+        # Candidate wi per lobe.
+        wi_pass = -wo
+        wi_d = _cosine_sample_wi(wo, u_re)
+        wi_g, _ = microfacet_reflection_sample(mat["ax"], mat["ay"], wo, u_re)
+        wi_sr = vec(-wo[..., 0], -wo[..., 1], wo[..., 2])
+        from ..core.vecmath import refract as _refract
+
+        entering = cos_theta(wo) > 0.0
+        n_l = jnp.broadcast_to(vec(0.0, 0.0, 1.0), wo.shape)
+        n_face = jnp.where(entering[..., None], n_l, -n_l)
+        eta_i = jnp.where(entering, 1.0, eta)
+        eta_t_ = jnp.where(entering, eta, 1.0)
+        ok_st, wi_st = _refract(wo, n_face, eta_i / eta_t_)
+        wi_m = jnp.where(
+            choose[0][..., None], wi_pass,
+            jnp.where(choose[1][..., None], wi_d,
+            jnp.where(choose[2][..., None], wi_g,
+            jnp.where(choose[3][..., None], wi_sr, wi_st))),
+        )
+        spec_m = choose[0] | choose[3] | choose[4]
+        # Non-specular chosen: f = kd+gloss lobes, pdf averaged over nmatch.
+        fres = lambda c: fresnel_dielectric(c, 1.0, eta)[..., None]
+        lam_f = kd_e * INV_PI
+        mfr = microfacet_reflection_f(ks_e, mat["ax"], mat["ay"], wo, wi_m, fres)
+        f_ns = jnp.where(same_hemisphere(wo, wi_m)[..., None], lam_f + mfr, 0.0)
+        pdf_ns = (
+            cosine_pdf(wo, wi_m) * counts[1]
+            + microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi_m) * counts[2]
+        ) / nmatch
+        # Specular chosen: delta weight / selection prob 1/nmatch.
+        Fr = fresnel_dielectric(cos_theta(wo), jnp.ones_like(eta), eta)
+        ac = jnp.maximum(abs_cos_theta(wi_m), 1e-12)[..., None]
+        w_pass = pass_w / ac
+        w_sr = kr_e * Fr[..., None] / ac
+        w_st = kt_e * (1.0 - Fr)[..., None] * ((eta_i / eta_t_) ** 2)[..., None] / ac
+        w_st = jnp.where(ok_st[..., None], w_st, 0.0)
+        f_sp = jnp.where(
+            choose[0][..., None], w_pass,
+            jnp.where(choose[3][..., None], w_sr, w_st),
+        )
+        f_m = jnp.where(spec_m[..., None], f_sp, f_ns)
+        pdf_m = jnp.where(spec_m, 1.0 / nmatch, pdf_ns)
+        wi = jnp.where(m[..., None], wi_m, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, pdf_m, pdf)
+        is_spec = is_spec | (m & spec_m)
+
+    if MAT_DISNEY in mat_types:
+        from . import disney as dz
+
+        m = t == MAT_DISNEY
+        s = dz.disney_sample(mat, wo, u)
+        wi = jnp.where(m[..., None], s["wi"], wi)
+        f = jnp.where(m[..., None], s["f"], f)
+        pdf = jnp.where(m, s["pdf"], pdf)
+        is_spec = is_spec | (m & s["is_specular"])
+
+    if MAT_HAIR in mat_types:
+        from . import hair as hz
+
+        m = t == MAT_HAIR
+        s = hz.hair_sample(mat, wo, u)
+        wi = jnp.where(m[..., None], s["wi"], wi)
+        f = jnp.where(m[..., None], s["f"], f)
+        pdf = jnp.where(m, s["pdf"], pdf)
+
+    if MAT_FOURIER in mat_types:
+        from . import fourier as fz
+
+        m = t == MAT_FOURIER
+        s = fz.fourier_sample(mat, wo, u)
+        wi = jnp.where(m[..., None], s["wi"], wi)
+        f = jnp.where(m[..., None], s["f"], f)
+        pdf = jnp.where(m, s["pdf"], pdf)
+
     valid = (pdf > 0.0) & jnp.any(f != 0.0, axis=-1)
     return {"wi": wi, "f": f, "pdf": pdf, "is_specular": is_spec, "valid": valid}
 
 
-def gather_material(table, mat_id, tex_values=None):
+def gather_material(table, mat_id, tex_values=None, mat_types=(), uv=None):
     """Build the per-lane material param dict from the MaterialTable.
 
     tex_values: [T, N, 3] evaluated texture stack (textures/textures.py) —
     parameters with a texture binding (``*_tex >= 0``) override constants
     (Material::ComputeScatteringFunctions evaluating its Texture inputs).
+
+    mat_types: static type set; when MAT_MIX is present, the two
+    sub-material parameter dicts are gathered too (one level deep).
     """
+    mat = _gather_base(table, mat_id, tex_values)
+    if uv is not None:
+        mat["uv"] = uv  # hair needs the curve-width coordinate (h = -1+2v)
+    if MAT_MIX in mat_types:
+        is_mix = mat["type"] == MAT_MIX
+        mid = jnp.clip(mat_id, 0, table.mat_type.shape[0] - 1)
+        a_id = jnp.where(is_mix, table.mix_m1[mid], mat_id)
+        b_id = jnp.where(is_mix, table.mix_m2[mid], mat_id)
+        sub_a = _gather_base(table, a_id, tex_values)
+        sub_b = _gather_base(table, b_id, tex_values)
+        # Nested mixes flatten to their first sub-material.
+        sub_a["type"] = jnp.where(
+            sub_a["type"] == MAT_MIX, MAT_MATTE, sub_a["type"]
+        )
+        sub_b["type"] = jnp.where(
+            sub_b["type"] == MAT_MIX, MAT_MATTE, sub_b["type"]
+        )
+        mat["sub_a"] = sub_a
+        mat["sub_b"] = sub_b
+        mat["mix_amount"] = table.mix_amount[mid]
+    return mat
+
+
+def _gather_base(table, mat_id, tex_values=None):
     from ..textures.textures import gather_texture
 
     mid = jnp.clip(mat_id, 0, table.mat_type.shape[0] - 1)
@@ -384,6 +921,9 @@ def gather_material(table, mat_id, tex_values=None):
     vr = jnp.where(vrough >= 0.0, vrough, rough)
     ax = jnp.where(remap, mf.roughness_to_alpha(ur), jnp.maximum(ur, 1e-3))
     ay = jnp.where(remap, mf.roughness_to_alpha(vr), jnp.maximum(vr, 1e-3))
+    opacity = table.opacity[mid]
+    if tex_values is not None:
+        opacity = gather_texture(tex_values, table.opacity_tex[mid], opacity)
     return {
         "type": jnp.where(mat_id >= 0, table.mat_type[mid], -1),
         "kd": kd,
@@ -396,4 +936,10 @@ def gather_material(table, mat_id, tex_values=None):
         "eta": table.eta[mid],
         "metal_eta": table.metal_eta[mid],
         "metal_k": table.metal_k[mid],
+        "opacity": opacity,
+        # Rough- vs specular-glass gate: raw (pre-remap) roughness > 0.
+        "is_rough": jnp.maximum(ur, vr) > 0.0,
+        "raw_rough": ur,
+        "disney": table.disney[mid],
+        "hair": table.hair[mid],
     }

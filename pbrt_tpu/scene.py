@@ -76,12 +76,24 @@ class MaterialTable:
     metal_eta: jnp.ndarray  # [M,3]
     metal_k: jnp.ndarray  # [M,3]
     remap_roughness: jnp.ndarray  # [M] bool
+    opacity: jnp.ndarray  # [M,3] uber opacity (1 = fully opaque)
+    # Disney params [M,12]: metallic, specTint, anisotropic, sheen,
+    # sheenTint, clearcoat, clearcoatGloss, specTrans, flatness, diffTrans,
+    # thin(0/1), pad (materials/disney.cpp:92-625 parameter set).
+    disney: jnp.ndarray
+    # Hair params [M,6]: sigma_a rgb, beta_m, beta_n, alpha (hair.h:90-115).
+    hair: jnp.ndarray
+    # Mix material: amount rgb + the two sub-material row ids (mixmat.cpp:46).
+    mix_amount: jnp.ndarray  # [M,3]
+    mix_m1: jnp.ndarray  # [M] i32
+    mix_m2: jnp.ndarray  # [M] i32
     # Texture indirection ids; -1 = use the constant column.
     kd_tex: jnp.ndarray  # [M] i32
     ks_tex: jnp.ndarray
     sigma_tex: jnp.ndarray
     rough_tex: jnp.ndarray
     bump_tex: jnp.ndarray
+    opacity_tex: jnp.ndarray
 
 
 @pytree_dataclass
@@ -235,11 +247,18 @@ class SceneBuilder:
             metal_eta=(0.2004, 0.9240, 1.1022),  # Cu (metal.cpp default)
             metal_k=(3.9129, 2.4528, 2.1421),
             remap_roughness=True,
+            opacity=(1.0, 1.0, 1.0),
+            disney=(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+            hair=(1.3, 1.3, 1.3, 0.3, 0.3, 2.0),
+            mix_amount=(0.5, 0.5, 0.5),
+            mix_m1=-1,
+            mix_m2=-1,
             kd_tex=-1,
             ks_tex=-1,
             sigma_tex=-1,
             roughness_tex=-1,
             bump_tex=-1,
+            opacity_tex=-1,
         )
         defaults.update(params)
         defaults["mat_type"] = mat_type
@@ -668,11 +687,33 @@ class SceneBuilder:
             remap_roughness=jnp.asarray(
                 np.array([bool(m["remap_roughness"]) for m in mats])
             ),
+            opacity=jnp.asarray(
+                np.array([m.get("opacity", (1.0,) * 3) for m in mats], np.float32)
+            ),
+            disney=jnp.asarray(
+                np.array(
+                    [m.get("disney", (0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0))
+                     for m in mats], np.float32
+                )
+            ),
+            hair=jnp.asarray(
+                np.array(
+                    [m.get("hair", (1.3, 1.3, 1.3, 0.3, 0.3, 2.0))
+                     for m in mats], np.float32
+                )
+            ),
+            mix_amount=jnp.asarray(
+                np.array([m.get("mix_amount", (0.5,) * 3) for m in mats],
+                         np.float32)
+            ),
+            mix_m1=icol("mix_m1"),
+            mix_m2=icol("mix_m2"),
             kd_tex=icol("kd_tex"),
             ks_tex=icol("ks_tex"),
             sigma_tex=icol("sigma_tex"),
             rough_tex=icol("roughness_tex"),
             bump_tex=icol("bump_tex"),
+            opacity_tex=icol("opacity_tex"),
         )
 
     def _light_power(self, li: dict, world_radius: float) -> float:

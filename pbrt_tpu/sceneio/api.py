@@ -445,18 +445,92 @@ class PbrtApi:
             kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
         elif name == "uber":
             mt = sc.MAT_UBER
-            kw["kd"] = ps.find_one_spectrum("Kd", 0.25)
-            kw["ks"] = ps.find_one_spectrum("Ks", 0.25)
+            self._bind_spectrum(ps, kw, "Kd", "kd", 0.25)
+            self._bind_spectrum(ps, kw, "Ks", "ks", 0.25)
             kw["kr"] = ps.find_one_spectrum("Kr", 0.0)
             kw["kt"] = ps.find_one_spectrum("Kt", 0.0)
+            self._bind_spectrum(ps, kw, "opacity", "opacity", 1.0)
             kw["roughness"] = ps.find_one_float("roughness", 0.1)
-            kw["eta"] = ps.find_one_float("eta", 1.5)
+            kw["eta"] = ps.find_one_float("eta", ps.find_one_float("index", 1.5))
+            kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
         elif name == "substrate":
             mt = sc.MAT_SUBSTRATE
-            kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
-            kw["ks"] = ps.find_one_spectrum("Ks", 0.5)
-            kw["roughness"] = ps.find_one_float("uroughness", 0.1)
+            self._bind_spectrum(ps, kw, "Kd", "kd", 0.5)
+            self._bind_spectrum(ps, kw, "Ks", "ks", 0.5)
+            kw["urough"] = ps.find_one_float("uroughness", 0.1)
+            kw["vrough"] = ps.find_one_float("vroughness", 0.1)
+            kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
+        elif name == "translucent":
+            # materials/translucent.cpp:47-76: kr = reflect, kt = transmit.
+            mt = sc.MAT_TRANSLUCENT
+            self._bind_spectrum(ps, kw, "Kd", "kd", 0.25)
+            self._bind_spectrum(ps, kw, "Ks", "ks", 0.25)
+            kw["kr"] = ps.find_one_spectrum("reflect", 0.5)
+            kw["kt"] = ps.find_one_spectrum("transmit", 0.5)
+            kw["roughness"] = ps.find_one_float("roughness", 0.1)
+            kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
+        elif name == "mix":
+            # materials/mixmat.cpp:46: blend two *named* materials.
+            mt = sc.MAT_MIX
+            m1 = ps.find_one_string("namedmaterial1", "")
+            m2 = ps.find_one_string("namedmaterial2", "")
+            kw["mix_m1"] = self.gs.named_materials.get(m1, -1)
+            kw["mix_m2"] = self.gs.named_materials.get(m2, -1)
+            if kw["mix_m1"] < 0 or kw["mix_m2"] < 0:
+                log.warning("mix material refs unknown named materials %r/%r",
+                            m1, m2)
+            kw["mix_amount"] = ps.find_one_spectrum("amount", 0.5)
+        elif name == "disney":
+            mt = sc.MAT_DISNEY
+            self._bind_spectrum(ps, kw, "color", "kd", 0.5)
+            kw["roughness"] = ps.find_one_float("roughness", 0.5)
+            kw["eta"] = ps.find_one_float("eta", 1.5)
+            kw["remap_roughness"] = False
+            kw["disney"] = (
+                ps.find_one_float("metallic", 0.0),
+                ps.find_one_float("speculartint", 0.0),
+                ps.find_one_float("anisotropic", 0.0),
+                ps.find_one_float("sheen", 0.0),
+                ps.find_one_float("sheentint", 0.5),
+                ps.find_one_float("clearcoat", 0.0),
+                ps.find_one_float("clearcoatgloss", 1.0),
+                ps.find_one_float("spectrans", 0.0),
+                ps.find_one_float("flatness", 0.0),
+                ps.find_one_float("difftrans", 1.0),
+                1.0 if ps.find_one_bool("thin", False) else 0.0,
+                0.0,
+            )
+        elif name == "hair":
+            mt = sc.MAT_HAIR
+            sig = ps.find_one_spectrum("sigma_a", None)
+            if sig is None:
+                color = ps.find_one_spectrum("color", None)
+                if color is not None:
+                    # HairBSDF::SigmaAFromReflectance (hair.cpp:599-605).
+                    bn = ps.find_one_float("beta_n", 0.3)
+                    c = np.asarray(color, np.float64)
+                    denom = (
+                        5.969 - 0.215 * bn + 2.532 * bn**2 - 10.73 * bn**3
+                        + 5.574 * bn**4 + 0.245 * bn**5
+                    )
+                    sig = tuple((np.log(np.maximum(c, 1e-4)) / denom) ** 2)
+                else:
+                    # Default: eumelanin 1.3 (hair.cpp:664-670).
+                    ce = ps.find_one_float("eumelanin", 1.3)
+                    cp = ps.find_one_float("pheomelanin", 0.0)
+                    eu = np.array([0.419, 0.697, 1.37])
+                    ph = np.array([0.187, 0.4, 1.05])
+                    sig = tuple(ce * eu + cp * ph)
+            kw["hair"] = (
+                float(sig[0]), float(sig[1]), float(sig[2]),
+                ps.find_one_float("beta_m", 0.3),
+                ps.find_one_float("beta_n", 0.3),
+                ps.find_one_float("alpha", 2.0),
+            )
+            kw["eta"] = ps.find_one_float("eta", 1.55)
         else:
+            # "fourier" (tabulated), "subsurface"/"kdsubsurface" (BSSRDF):
+            # pending milestones — degrade to matte loudly.
             log.warning("material %r not yet supported; using matte", name)
             mt = sc.MAT_MATTE
             kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
