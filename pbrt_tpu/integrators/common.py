@@ -146,10 +146,15 @@ def sample_one_light(
     mat_types,
     light_types,
     quadric_types,
+    pick=None,
 ):
     """UniformSampleOneLight (integrator.cpp:85-106): pick one light from the
-    scene distribution, estimate direct, divide by the pick pmf."""
-    light_idx, pmf, _ = smp.sample_discrete_1d(scene.light_distr, u_select)
+    scene distribution (or a precomputed per-lane (light_idx, pmf) from the
+    spatial grid, lightdistrib.cpp:135), estimate direct, divide by pmf."""
+    if pick is not None:
+        light_idx, pmf = pick
+    else:
+        light_idx, pmf, _ = smp.sample_discrete_1d(scene.light_distr, u_select)
     ld = estimate_direct(
         scene,
         rec,

@@ -38,7 +38,7 @@ from . import common
 class PathConfig:
     max_depth: int = 5
     rr_threshold: float = 1.0
-    light_strategy: str = "uniform"  # "uniform" | "power" | "spatial"(TODO)
+    light_strategy: str = "uniform"  # "uniform" | "power" | "spatial"
 
 
 def eval_scene_textures(scene, rec, statics: SceneStatics):
@@ -116,10 +116,19 @@ def li_path(
         u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim + 3)
         dim += 5
         n_rays = n_rays + 2.0 * jnp.sum(has_bsdf.astype(jnp.float32))
+        pick = None
+        if cfg.light_strategy == "spatial" and scene.spatial_cdf is not None:
+            from ..lights import lightdistrib as ldist
+
+            pick = ldist.spatial_pick_light(
+                scene.spatial_grid_res, scene.spatial_b0,
+                scene.spatial_inv_extent, scene.spatial_cdf,
+                rec["p"], u_select,
+            )
         ld = common.sample_one_light(
             scene, rec, frame, mat, wo_local,
             u_select, u_light, u_scatter,
-            has_bsdf, mat_types, light_types, quadric_types,
+            has_bsdf, mat_types, light_types, quadric_types, pick=pick,
         )
         L = L + jnp.where(has_bsdf[..., None], beta * ld, 0.0)
 
@@ -221,6 +230,10 @@ def render(
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
     statics = scene_statics(scene)
+    if cfg.light_strategy == "spatial":
+        from ..lights.lightdistrib import ensure_spatial_light_distribution
+
+        scene = ensure_spatial_light_distribution(scene, statics.light_types)
     # One-time host->device upload.  SceneArrays leaves are numpy (build
     # stays host-side); passing them to jit directly re-uploads the whole
     # scene through the (remote) device tunnel EVERY call — measured ~300ms

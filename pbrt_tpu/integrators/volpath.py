@@ -214,10 +214,19 @@ def li_volpath(
         has_bsdf = surf & (rec["material"] >= 0)
         null_boundary = surf & (rec["material"] < 0)
 
+        pick = None
+        if cfg.light_strategy == "spatial" and scene.spatial_cdf is not None:
+            from ..lights import lightdistrib as ldist
+
+            pick = ldist.spatial_pick_light(
+                scene.spatial_grid_res, scene.spatial_b0,
+                scene.spatial_inv_extent, scene.spatial_cdf,
+                rec["p"], u_select,
+            )
         ld_surf = common.sample_one_light(
             scene, rec, frame, mat, wo_local, u_select, u_light, u_scatter,
             has_bsdf, statics.mat_types, statics.light_types,
-            statics.quadric_types,
+            statics.quadric_types, pick=pick,
         )
         # Shadow Tr through the current medium (volpath handleMedia).
         L = L + jnp.where(has_bsdf[..., None], beta * ld_surf, 0.0)
@@ -286,6 +295,10 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=PathConfig(), filt=None):
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
     statics = scene_statics(scene)
+    if cfg.light_strategy == "spatial":
+        from ..lights.lightdistrib import ensure_spatial_light_distribution
+
+        scene = ensure_spatial_light_distribution(scene, statics.light_types)
     import jax as _jax
     scene = _jax.device_put(scene)  # one-time upload (see path.render)
     camera = _jax.device_put(camera)

@@ -93,6 +93,37 @@ def sample_li(scene: sc.SceneArrays, light_idx, ref_p, u, light_types):
         p_light = jnp.where(m[..., None], pos, p_light)
         is_delta = is_delta | m
 
+    if sc.LIGHT_PROJECTION in light_types:
+        # ProjectionLight::Sample_Li (projection.cpp:103-115): point light
+        # with Projection() texture modulation of the intensity.
+        m = li_t == sc.LIGHT_PROJECTION
+        pos = lt.pos[light_idx]
+        d = pos - ref_p
+        dist2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
+        wi_m = d / jnp.sqrt(dist2)[..., None]
+        proj = _projection_factor(lt, -wi_m)
+        li_m = L * proj * (1.0 / dist2)[..., None]
+        wi = jnp.where(m[..., None], wi_m, wi)
+        li = jnp.where(m[..., None], li_m, li)
+        pdf = jnp.where(m, 1.0, pdf)
+        p_light = jnp.where(m[..., None], pos, p_light)
+        is_delta = is_delta | m
+
+    if sc.LIGHT_GONIO in light_types:
+        # GonioPhotometricLight::Sample_Li (goniometric.cpp:80-92).
+        m = li_t == sc.LIGHT_GONIO
+        pos = lt.pos[light_idx]
+        d = pos - ref_p
+        dist2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
+        wi_m = d / jnp.sqrt(dist2)[..., None]
+        scale = _gonio_factor(lt, -wi_m)
+        li_m = L * scale * (1.0 / dist2)[..., None]
+        wi = jnp.where(m[..., None], wi_m, wi)
+        li = jnp.where(m[..., None], li_m, li)
+        pdf = jnp.where(m, 1.0, pdf)
+        p_light = jnp.where(m[..., None], pos, p_light)
+        is_delta = is_delta | m
+
     if sc.LIGHT_DISTANT in light_types:
         m = li_t == sc.LIGHT_DISTANT
         w_light = normalize(lt.dir[light_idx])  # points toward the light
@@ -217,6 +248,55 @@ def sample_li(scene: sc.SceneArrays, light_idx, ref_p, u, light_types):
         "p_light": p_light,
         "is_delta": is_delta,
     }
+
+
+def _apply_w2l(w2l, v):
+    """Rotate a world direction into light space (ignores translation)."""
+    return jnp.einsum("ij,...j->...i", w2l[:3, :3], v)
+
+
+def _bilinear_img(img, u, v):
+    """Bilinear texel fetch, u/v in [0,1], clamp wrap."""
+    h, w = img.shape[0], img.shape[1]
+    x = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    a = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+    b = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+    return a * (1 - fy) + b * fy
+
+
+def _projection_factor(lt, w_world):
+    """ProjectionLight::Projection (projection.cpp:87-101): project the
+    light-space direction on the z=1 plane against the screen window."""
+    wl = _apply_w2l(lt.proj_w2l, w_world)
+    z = wl[..., 2]
+    behind = z < 1e-3  # hither plane
+    x = wl[..., 0] / jnp.where(behind, 1.0, z)
+    y = wl[..., 1] / jnp.where(behind, 1.0, z)
+    s = lt.proj_screen  # [x0, x1, y0, y1] already fov-scaled
+    inside = (~behind) & (x >= s[0]) & (x <= s[1]) & (y >= s[2]) & (y <= s[3])
+    u = (x - s[0]) / jnp.maximum(s[1] - s[0], 1e-9)
+    v = (y - s[2]) / jnp.maximum(s[3] - s[2], 1e-9)
+    tex = _bilinear_img(lt.proj_img, u, v)
+    return jnp.where(inside[..., None], tex, 0.0)
+
+
+def _gonio_factor(lt, w_world):
+    """GonioPhotometricLight::Scale (goniometric.cpp:65-75): equirect
+    (theta, phi) lookup of the angular intensity map."""
+    wl = normalize(_apply_w2l(lt.gonio_w2l, w_world))
+    theta = jnp.arccos(jnp.clip(wl[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(wl[..., 1], wl[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    u = phi * (0.5 / jnp.pi)
+    v = theta / jnp.pi
+    return _bilinear_img(lt.gonio_img, u, v)
 
 
 def _env_lookup(lt, uv):

@@ -118,6 +118,15 @@ class LightTable:
     env_w2l: jnp.ndarray = None  # [4,4] world->light rotation
     env_distr: object = None  # Distribution2D over luminance * sin(theta)
     env_light_idx: jnp.ndarray = None  # [] which light row it is (-1 none)
+    # Projection light payload (lights/projection.cpp): one per scene.
+    proj_img: jnp.ndarray = None  # [H,W,3]
+    proj_w2l: jnp.ndarray = None  # [4,4]
+    proj_screen: jnp.ndarray = None  # [4] x0 x1 y0 y1 (NDC screen window)
+    proj_light_idx: jnp.ndarray = None  # [] (-1 none)
+    # Goniophotometric payload (lights/gonio.cpp): equirect intensity map.
+    gonio_img: jnp.ndarray = None  # [H,W,3]
+    gonio_w2l: jnp.ndarray = None  # [4,4]
+    gonio_light_idx: jnp.ndarray = None  # [] (-1 none)
 
 
 @pytree_dataclass
@@ -168,6 +177,12 @@ class SceneArrays:
     light_distr: smp.Distribution1D = None  # light-picking PMF
     textures: object = None  # TextureTable (textures/textures.py)
     media: object = None  # MediumTable (media/media.py)
+    # ---- spatial light distribution (lights/lightdistrib.py; filled by
+    # ensure_spatial_light_distribution when the render uses "spatial") ----
+    spatial_grid_res: jnp.ndarray = None  # [3] i32
+    spatial_b0: jnp.ndarray = None  # [3]
+    spatial_inv_extent: jnp.ndarray = None  # [3]
+    spatial_cdf: jnp.ndarray = None  # [V, L]
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +437,51 @@ class SceneBuilder:
                     if world_to_light is None
                     else np.asarray(world_to_light, np.float32)
                 ),
+            )
+        )
+        return len(self.lights) - 1
+
+    def add_projection_light(self, light_to_world: tf.Transform, intensity,
+                             fov_deg=45.0, image=None) -> int:
+        """ProjectionLight (lights/projection.cpp:51-101): delta light
+        projecting `image` through a perspective frustum along +z."""
+        pos = light_to_world.apply_point(np.zeros(3)).astype(np.float32)
+        img = (np.ones((1, 1, 3), np.float32) if image is None
+               else np.asarray(image, np.float32))
+        aspect = img.shape[1] / img.shape[0]
+        if aspect > 1.0:
+            screen = (-aspect, aspect, -1.0, 1.0)
+        else:
+            screen = (-1.0, 1.0, -1.0 / aspect, 1.0 / aspect)
+        # Perspective divide scale from fov (projection.cpp:71-77).
+        t = 1.0 / np.tan(np.deg2rad(fov_deg) / 2.0)
+        self.lights.append(
+            dict(
+                light_type=LIGHT_PROJECTION,
+                L=np.asarray(intensity, np.float32),
+                pos=pos,
+                image=img,
+                w2l=np.asarray(light_to_world.m_inv, np.float32),
+                proj_screen=np.asarray(screen, np.float32),
+                proj_tan_scale=float(t),
+            )
+        )
+        return len(self.lights) - 1
+
+    def add_gonio_light(self, light_to_world: tf.Transform, intensity,
+                        image=None) -> int:
+        """GonioPhotometricLight (lights/goniometric.cpp:47-104): point
+        light with an equirect angular intensity map."""
+        pos = light_to_world.apply_point(np.zeros(3)).astype(np.float32)
+        img = (np.ones((1, 1, 3), np.float32) if image is None
+               else np.asarray(image, np.float32))
+        self.lights.append(
+            dict(
+                light_type=LIGHT_GONIO,
+                L=np.asarray(intensity, np.float32),
+                pos=pos,
+                image=img,
+                w2l=np.asarray(light_to_world.m_inv, np.float32),
             )
         )
         return len(self.lights) - 1
@@ -730,6 +790,12 @@ class SceneBuilder:
             )
         if t == LIGHT_DISTANT:
             return y * np.pi * world_radius**2
+        if t == LIGHT_PROJECTION:
+            img = np.asarray(li.get("image", np.ones((1, 1, 3))), np.float64)
+            return float(img.mean()) * y * 2.0 * np.pi
+        if t == LIGHT_GONIO:
+            img = np.asarray(li.get("image", np.ones((1, 1, 3))), np.float64)
+            return float(img.mean()) * y * 4.0 * np.pi
         if t == LIGHT_AREA:
             if li["shape_type"] == SHAPE_SPHERE:
                 r = float(self.quadrics[li["shape_idx"]][2][0])
@@ -769,12 +835,42 @@ class SceneBuilder:
         )
         sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h)
         func = np.maximum(lum * sin_theta[:, None], 0.0) + 1e-9
-        return dict(
+        out = dict(
             env_map=jnp.asarray(env_map),
             env_w2l=jnp.asarray(env_w2l),
             env_distr=smp.build_distribution_2d(func),
             env_light_idx=jnp.int32(env_idx),
         )
+        # Projection / gonio payloads (first such light wins, like env).
+        proj_idx, gonio_idx = -1, -1
+        proj_img = np.ones((1, 1, 3), np.float32)
+        proj_w2l = np.eye(4, dtype=np.float32)
+        proj_screen = np.asarray([-1.0, 1.0, -1.0, 1.0], np.float32)
+        gonio_img = np.ones((1, 1, 3), np.float32)
+        gonio_w2l = np.eye(4, dtype=np.float32)
+        for i, li in enumerate(lights):
+            if li.get("light_type") == LIGHT_PROJECTION and proj_idx < 0:
+                proj_idx = i
+                proj_img = np.asarray(li["image"], np.float32)
+                proj_w2l = np.asarray(li["w2l"], np.float32)
+                sc4 = np.asarray(li["proj_screen"], np.float32)
+                # Fold the fov scale into the screen window: directions are
+                # projected as (x/z*t, y/z*t) vs the window.
+                proj_screen = sc4 / max(li.get("proj_tan_scale", 1.0), 1e-6)
+            if li.get("light_type") == LIGHT_GONIO and gonio_idx < 0:
+                gonio_idx = i
+                gonio_img = np.asarray(li["image"], np.float32)
+                gonio_w2l = np.asarray(li["w2l"], np.float32)
+        out.update(
+            proj_img=jnp.asarray(proj_img),
+            proj_w2l=jnp.asarray(proj_w2l),
+            proj_screen=jnp.asarray(proj_screen),
+            proj_light_idx=jnp.int32(proj_idx),
+            gonio_img=jnp.asarray(gonio_img),
+            gonio_w2l=jnp.asarray(gonio_w2l),
+            gonio_light_idx=jnp.int32(gonio_idx),
+        )
+        return out
 
     def _build_lights(self, bmin, bmax):
         jnp = _HostNp()

@@ -580,6 +580,36 @@ class PbrtApi:
             b.add_infinite_light(
                 L=L, image=img, world_to_light=self.ctm.m_inv
             )
+        elif name == "projection":
+            i = np.asarray(ps.find_one_spectrum("I", 1.0)) * np.asarray(
+                ps.find_one_spectrum("scale", 1.0)
+            )
+            img = None
+            mapname = ps.find_one_string("mapname", "")
+            if mapname:
+                try:
+                    from ..utils.imageio import read_image
+
+                    img = read_image(self._resolve_path(mapname))
+                except Exception as e:
+                    log.warning("projection map %r failed: %s", mapname, e)
+            b.add_projection_light(
+                self.ctm, i, fov_deg=ps.find_one_float("fov", 45.0), image=img
+            )
+        elif name == "goniometric":
+            i = np.asarray(ps.find_one_spectrum("I", 1.0)) * np.asarray(
+                ps.find_one_spectrum("scale", 1.0)
+            )
+            img = None
+            mapname = ps.find_one_string("mapname", "")
+            if mapname:
+                try:
+                    from ..utils.imageio import read_image
+
+                    img = read_image(self._resolve_path(mapname))
+                except Exception as e:
+                    log.warning("gonio map %r failed: %s", mapname, e)
+            b.add_gonio_light(self.ctm, i, image=img)
         else:
             log.warning("light %r not yet supported", name)
         ps.report_unused(f"LightSource {name}")
