@@ -332,6 +332,12 @@ def _use_kernel(scene) -> bool:
 
 def intersect_closest(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
     """Closest-hit query.  Returns (t [N], prim_id [N]; -1 = miss)."""
+    if scene.kd_nodes is not None:
+        from .kdtree import traverse_kd
+
+        return traverse_kd(
+            _device_scene(scene), o, d, t_max, quadric_types, any_hit=False
+        )
     if _use_kernel(scene):
         from ..ops import pallas_bvh as pk
 
@@ -344,6 +350,13 @@ def intersect_closest(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
 def intersect_any(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
     """Shadow-ray query with early-out (bvh.cpp:702 IntersectP).
     Returns occluded [N] bool."""
+    if scene.kd_nodes is not None:
+        from .kdtree import traverse_kd
+
+        _, prim = traverse_kd(
+            _device_scene(scene), o, d, t_max, quadric_types, any_hit=True
+        )
+        return prim >= 0
     if _use_kernel(scene):
         from ..ops import pallas_bvh as pk
 

@@ -183,6 +183,11 @@ class SceneArrays:
     spatial_b0: jnp.ndarray = None  # [3]
     spatial_inv_extent: jnp.ndarray = None  # [3]
     spatial_cdf: jnp.ndarray = None  # [V, L]
+    # ---- kd-tree accelerator (accel/kdtree.py; Accelerator "kdtree") ----
+    kd_nodes: jnp.ndarray = None  # [M,4]
+    kd_prim_ids: jnp.ndarray = None  # [K] i32 into ordered prim records
+    kd_wb_min: jnp.ndarray = None  # [3]
+    kd_wb_max: jnp.ndarray = None  # [3]
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +251,7 @@ class SceneBuilder:
         self.materials: list[dict] = []
         self.lights: list[dict] = []
         self.light_strategy = "uniform"
+        self.accelerator = "bvh"
 
     # -- materials --
     def add_material(self, mat_type: int = MAT_MATTE, **params) -> int:
@@ -551,11 +557,13 @@ class SceneBuilder:
         return first_light
 
     # -- freeze --
-    def build(self, max_prims_in_node: int = 4) -> SceneArrays:
+    def build(self, max_prims_in_node: int = 4,
+              accelerator: str | None = None) -> SceneArrays:
         assert self.prims, "scene has no primitives"
         bmin = np.stack([pr.bmin for pr in self.prims]).astype(np.float32)
         bmax = np.stack([pr.bmax for pr in self.prims]).astype(np.float32)
         bvh = build_bvh(bmin, bmax, max_prims_in_node)
+        accelerator = accelerator or getattr(self, "accelerator", "bvh")
 
         order = bvh.order
         prim_type = np.array([self.prims[i].shape_type for i in order], np.int32)
@@ -659,7 +667,28 @@ class SceneBuilder:
         from .ops.pallas_bvh import pack_nodes_pages
 
         kernel_nodes = pack_nodes_pages(nodes_packed)
+        kd_extra = {}
+        if accelerator == "kdtree":
+            from .accel.kdtree import build_kdtree
+
+            if len(order) > 200_000:
+                import logging
+
+                logging.getLogger("pbrt_tpu").warning(
+                    "kdtree build capped at 200k prims; using BVH"
+                )
+            else:
+                kd_nodes, kd_pids, wb0, wb1 = build_kdtree(
+                    bmin[order], bmax[order]
+                )
+                kd_extra = dict(
+                    kd_nodes=jnp.asarray(kd_nodes),
+                    kd_prim_ids=jnp.asarray(kd_pids),
+                    kd_wb_min=jnp.asarray(wb0),
+                    kd_wb_max=jnp.asarray(wb1),
+                )
         return SceneArrays(
+            **kd_extra,
             bvh_min=jnp.asarray(bvh.nodes_min),
             bvh_max=jnp.asarray(bvh.nodes_max),
             bvh_offset=jnp.asarray(bvh.offset),

@@ -228,7 +228,10 @@ class PbrtApi:
     pixel_filter = filter
 
     def accelerator(self, name, params):
-        pass  # BVH always; kdtree parity later
+        # MakeAccelerator (api.cpp:770): "bvh" (default) or "kdtree".
+        self.setup.scene_builder.accelerator = name if name in (
+            "bvh", "kdtree"
+        ) else "bvh"
 
     # ---- world block ----
     def world_begin(self):
