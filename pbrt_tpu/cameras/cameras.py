@@ -146,13 +146,17 @@ def _xform_vector(m, v):
     return v @ m[:3, :3].T
 
 
-def generate_rays(cam: CameraParams, p_film, p_lens, time_u):
+def generate_rays(cam, p_film, p_lens, time_u):
     """Camera::GenerateRay over a batch.
 
     p_film: [N, 2] raster-space sample positions (CameraSample::pFilm);
     p_lens: [N, 2] in [0,1)^2; time_u: [N] in [0,1).
     Returns (o[N,3], d[N,3], time[N], weight[N]).
     """
+    from .realistic import RealisticParams, generate_rays_realistic
+
+    if isinstance(cam, RealisticParams):
+        return generate_rays_realistic(cam, p_film, p_lens, time_u)
     n = p_film.shape[0]
     time = cam.shutter_open + time_u * (cam.shutter_close - cam.shutter_open)
     if cam.cam_type == CAM_ENVIRONMENT:

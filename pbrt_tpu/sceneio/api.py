@@ -87,6 +87,23 @@ class RenderSetup:
             )
         if self.camera_name == "environment":
             return make_environment_camera(c2w, res, **common)
+        if self.camera_name == "realistic":
+            from ..cameras.realistic import make_realistic_camera
+
+            lens_data = None
+            lf = p.find_one_string("lensfile", "")
+            if lf:
+                try:
+                    lens_data = np.loadtxt(lf, comments="#")
+                except Exception:
+                    log.warning("lensfile %r unreadable; using 50mm dgauss", lf)
+            return make_realistic_camera(
+                c2w, res, lens_data=lens_data,
+                film_diag_mm=p.find_one_float("filmdiag", 35.0),
+                focus_distance=p.find_one_float("focusdistance", 10.0),
+                shutter_open=common["shutter_open"],
+                shutter_close=common["shutter_close"],
+            )
         raise ValueError(f"camera {self.camera_name!r} not supported yet")
 
     def make_film_config(self):
@@ -737,6 +754,62 @@ class PbrtApi:
             fname = ps.find_one_string("filename", "")
             idx, p, n, uv = load_ply(fname)
             b.add_triangle_mesh(idx, p, n=n, uv=uv, object_to_world=o2w, material=mat)
+        elif name == "curve":
+            from ..shapes.curve import tessellate_curves
+
+            p = np.asarray(ps.find_points("P"), np.float32)
+            degree = ps.find_one_int("degree", 3)
+            if degree != 3:
+                log.warning("only cubic curves supported; got degree %d", degree)
+            # One curve statement may carry several chained segments
+            # (curve.cpp CreateCurve: nSegments from point count).
+            n_seg = max((p.shape[0] - 1) // 3, 1)
+            cps = np.stack(
+                [p[3 * i : 3 * i + 4] for i in range(n_seg)]
+            )
+            w = ps.find_one_float("width", 1.0)
+            w0 = ps.find_one_float("width0", w)
+            w1 = ps.find_one_float("width1", w)
+            ctype = ps.find_one_string("type", "flat")
+            nrm = ps.find_points("N")
+            normals = None
+            if nrm is not None and len(nrm) >= 2 and ctype == "ribbon":
+                normals = np.broadcast_to(
+                    np.asarray(nrm[:2], np.float32)[None], (n_seg, 2, 3)
+                )
+            # Per-chain width interpolation across segments.
+            ws0 = np.linspace(w0, w1, n_seg + 1)[:-1]
+            ws1 = np.linspace(w0, w1, n_seg + 1)[1:]
+            idx, pv, nv_, uv = tessellate_curves(
+                cps, ws0, ws1, curve_type=ctype, normals=normals,
+                n_segments=max(2, 8 // max(n_seg, 1) + 2),
+            )
+            b.add_triangle_mesh(
+                idx, pv, n=nv_, uv=uv, object_to_world=o2w, material=mat
+            )
+        elif name == "nurbs":
+            from ..shapes.nurbs import tessellate_nurbs
+
+            nu = ps.find_one_int("nu", 0)
+            nv = ps.find_one_int("nv", 0)
+            uorder = ps.find_one_int("uorder", 4)
+            vorder = ps.find_one_int("vorder", 4)
+            uknots = ps.find_floats("uknots")
+            vknots = ps.find_floats("vknots")
+            pw_f = ps.find_floats("Pw")
+            pw = (np.asarray(pw_f, np.float32).reshape(nv, nu, 4)
+                  if pw_f is not None else None)
+            if pw is None:
+                p3 = np.asarray(ps.find_points("P"), np.float32).reshape(nv, nu, 3)
+                pw = np.concatenate(
+                    [p3, np.ones((nv, nu, 1), np.float32)], -1
+                )
+            idx, pv, uv = tessellate_nurbs(
+                nu, nv, uorder, vorder, uknots, vknots, pw
+            )
+            b.add_triangle_mesh(
+                idx, pv, uv=uv, object_to_world=o2w, material=mat
+            )
         else:
             log.warning("shape %r not yet supported; skipped", name)
 

@@ -77,8 +77,12 @@ class ParamSet:
         """RGB / color / spectrum-ish single value -> rgb triple."""
         v = self._get(name)
         if not v:
+            if default is None:
+                return None
             d = np.asarray(default, np.float32)
-            return d if d.shape == (3,) else np.full(3, float(default), np.float32)
+            if d.shape == (3,):
+                return d
+            return np.full(3, float(default), np.float32)
         ptype, vals = v
         if ptype == "blackbody":
             return _blackbody_rgb(float(vals[0])) * (
