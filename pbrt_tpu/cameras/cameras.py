@@ -209,3 +209,92 @@ def generate_rays(cam, p_film, p_lens, time_u):
     o = _xform_point(cam.camera_to_world, o)
     d = _xform_vector(cam.camera_to_world, d)
     return o, d, time, jnp.ones((n,), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# BDPT camera importance (perspective.cpp:185-260: We / Pdf_We / Sample_Wi).
+# Perspective only (pbrt likewise implements these on PerspectiveCamera).
+# ---------------------------------------------------------------------------
+
+def _image_plane_area(cam):
+    """Area A of the image rectangle projected onto the z=1 plane
+    (perspective.cpp:64-68)."""
+    xr, yr = cam.full_resolution
+    p_min = _xform_point(
+        cam.raster_to_camera, jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    )[0]
+    p_max = _xform_point(
+        cam.raster_to_camera,
+        jnp.asarray([[float(xr), float(yr), 0.0]], jnp.float32),
+    )[0]
+    p_min = p_min / p_min[2]
+    p_max = p_max / p_max[2]
+    return jnp.abs((p_max[0] - p_min[0]) * (p_max[1] - p_min[1]))
+
+
+def camera_pdf_we(cam, o_w, d_w):
+    """PerspectiveCamera::Pdf_We (perspective.cpp:214-248): (pdf_pos,
+    pdf_dir) of generating a ray (o, d).  Pinhole: pdf_pos is a delta
+    (returned as 1)."""
+    w2c = jnp.linalg.inv(cam.camera_to_world)
+    d_c = _xform_vector(w2c, d_w)
+    cos_t = d_c[..., 2]
+    a = _image_plane_area(cam)
+    # Check the direction lands on the film (project to z=1, to raster).
+    p_focus = d_c / jnp.maximum(cos_t, 1e-9)[..., None]
+    c2r = jnp.linalg.inv(cam.raster_to_camera)
+    p_raster = _xform_point(c2r, p_focus)
+    xr, yr = cam.full_resolution
+    on_film = (
+        (cos_t > 1e-6)
+        & (p_raster[..., 0] >= 0) & (p_raster[..., 0] < xr)
+        & (p_raster[..., 1] >= 0) & (p_raster[..., 1] < yr)
+    )
+    pdf_dir = jnp.where(on_film, 1.0 / (a * cos_t ** 3), 0.0)
+    pdf_pos = jnp.where(on_film, 1.0, 0.0)
+    return pdf_pos, pdf_dir
+
+
+def camera_sample_wi(cam, ref_p):
+    """PerspectiveCamera::Sample_Wi (perspective.cpp:250-260) for a pinhole
+    lens: deterministic connection to the camera position.
+
+    Returns dict: wi [N,3] (ref -> camera), pdf [N] (solid angle), we [N,3]
+    (importance), p_raster [N,2], p_cam [N,3] (lens point, world),
+    valid [N]."""
+    n = ref_p.shape[0]
+    cam_p = _xform_point(
+        cam.camera_to_world, jnp.zeros((n, 3), jnp.float32)
+    )
+    d = cam_p - ref_p
+    dist2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = d / dist[..., None]
+    # Lens normal = camera forward axis (+z in camera space).
+    fwd = _xform_vector(
+        cam.camera_to_world,
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3)),
+    )
+    cos_t = jnp.sum(-wi * normalize(fwd), -1)
+    # We: 1/(A cos^4) inside the frustum (perspective.cpp:185-211).
+    w2c = jnp.linalg.inv(cam.camera_to_world)
+    d_c = _xform_vector(w2c, -wi)
+    cz = jnp.maximum(d_c[..., 2], 1e-9)
+    p_focus = d_c / cz[..., None]
+    c2r = jnp.linalg.inv(cam.raster_to_camera)
+    p_raster = _xform_point(c2r, p_focus)[..., :2]
+    xr, yr = cam.full_resolution
+    on_film = (
+        (d_c[..., 2] > 1e-6)
+        & (p_raster[..., 0] >= 0) & (p_raster[..., 0] < xr)
+        & (p_raster[..., 1] >= 0) & (p_raster[..., 1] < yr)
+    )
+    a = _image_plane_area(cam)
+    we_scalar = jnp.where(on_film, 1.0 / (a * jnp.maximum(cos_t, 1e-9) ** 4), 0.0)
+    we = we_scalar[..., None] * jnp.ones((n, 3), jnp.float32)
+    # Pinhole lens: pdf = dist^2 / cos (delta position).
+    pdf = jnp.where(on_film, dist2 / jnp.maximum(cos_t, 1e-9), 0.0)
+    return {
+        "wi": wi, "pdf": pdf, "we": we, "p_raster": p_raster,
+        "p_cam": cam_p, "valid": on_film,
+    }

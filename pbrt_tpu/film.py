@@ -84,6 +84,7 @@ class FilmState:
     filter_table: jnp.ndarray = None
     inv_radius: jnp.ndarray = None
     footprint: int = static_field(default=1)
+    max_sample_luminance: jnp.ndarray = None  # film.h:124 firefly clamp
 
 
 def build_filter_table(filt: Filter) -> np.ndarray:
@@ -112,6 +113,10 @@ def make_film_state(config: FilmConfig, filt: Filter) -> FilmState:
         filter_table=jnp.asarray(build_filter_table(filt)),
         inv_radius=jnp.asarray([1.0 / rx, 1.0 / ry], jnp.float32),
         footprint=footprint,
+        max_sample_luminance=jnp.float32(
+            config.max_sample_luminance
+            if math.isfinite(config.max_sample_luminance) else 3.4e38
+        ),
     )
 
 
@@ -134,6 +139,11 @@ def add_samples(state: FilmState, p_film, L, sample_weight=None, mask=None):
     # is enforced by the integrator; film clamps luminance here, film.h:124).
     lum = spectrum.luminance(L)
     L = jnp.where(jnp.isfinite(lum)[..., None], L, 0.0)
+    # maxSampleLuminance firefly clamp (film.h:124-125): scale L so its
+    # luminance does not exceed the configured bound.
+    ml = state.max_sample_luminance
+    over = lum > ml
+    L = jnp.where(over[..., None], L * (ml / jnp.maximum(lum, 1e-12))[..., None], L)
 
     pd = p_film - 0.5  # discrete coords (film.h:126)
     radius = 1.0 / state.inv_radius

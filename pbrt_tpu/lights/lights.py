@@ -413,6 +413,186 @@ def pdf_li(scene: sc.SceneArrays, light_idx, ref_p, wi, light_types):
     return pdf
 
 
+def sample_le(scene: sc.SceneArrays, light_idx, u1, u2, light_types):
+    """Light::Sample_Le batch (light.h:70-76; per-type impls: point.cpp:58,
+    spot.cpp:87, distant.cpp:76, diffuse.cpp:103): sample an emitted ray.
+
+    Returns dict: o [N,3], d [N,3], n_light [N,3], pdf_pos [N], pdf_dir [N],
+    le [N,3], is_delta_pos [N] (position is a delta: point/spot).
+    """
+    lt = scene.lights
+    li_t = lt.light_type[light_idx]
+    L = lt.L[light_idx]
+    n = u1.shape[0]
+    o = jnp.zeros((n, 3), jnp.float32)
+    d = jnp.zeros((n, 3), jnp.float32)
+    nl = jnp.zeros((n, 3), jnp.float32)
+    pdf_pos = jnp.zeros((n,), jnp.float32)
+    pdf_dir = jnp.zeros((n,), jnp.float32)
+    le = jnp.zeros((n, 3), jnp.float32)
+    delta_pos = jnp.zeros((n,), bool)
+
+    if sc.LIGHT_POINT in light_types:
+        m = li_t == sc.LIGHT_POINT
+        w = smp.uniform_sample_sphere(u1)
+        o = jnp.where(m[..., None], lt.pos[light_idx], o)
+        d = jnp.where(m[..., None], w, d)
+        nl = jnp.where(m[..., None], w, nl)
+        pdf_pos = jnp.where(m, 1.0, pdf_pos)
+        pdf_dir = jnp.where(m, smp.uniform_sphere_pdf(), pdf_dir)
+        le = jnp.where(m[..., None], L, le)
+        delta_pos = delta_pos | m
+
+    if sc.LIGHT_SPOT in light_types:
+        # SpotLight::Sample_Le (spot.cpp:87): uniform cone of the total
+        # width around the axis.
+        m = li_t == sc.LIGHT_SPOT
+        c1 = lt.cos_falloff_end[light_idx]  # cosTotalWidth
+        w_local = smp.uniform_sample_cone(u1, c1)
+        axis = lt.dir[light_idx]
+        ax_x, ax_y = coordinate_system(axis)
+        w = (
+            w_local[..., 0:1] * ax_x
+            + w_local[..., 1:2] * ax_y
+            + w_local[..., 2:3] * axis
+        )
+        ct = dot(w, axis)
+        c0 = lt.cos_falloff_start[light_idx]
+        delta = jnp.clip((ct - c1) / jnp.maximum(c0 - c1, 1e-9), 0.0, 1.0)
+        fall = jnp.where(ct < c1, 0.0, jnp.where(ct > c0, 1.0, delta**4))
+        o = jnp.where(m[..., None], lt.pos[light_idx], o)
+        d = jnp.where(m[..., None], w, d)
+        nl = jnp.where(m[..., None], w, nl)
+        pdf_pos = jnp.where(m, 1.0, pdf_pos)
+        pdf_dir = jnp.where(m, smp.uniform_cone_pdf(c1), pdf_dir)
+        le = jnp.where(m[..., None], L * fall[..., None], le)
+        delta_pos = delta_pos | m
+
+    if sc.LIGHT_DISTANT in light_types:
+        # DistantLight::Sample_Le (distant.cpp:76): disk of world radius.
+        m = li_t == sc.LIGHT_DISTANT
+        w_light = normalize(lt.dir[light_idx])  # toward the light
+        vx, vy = coordinate_system(w_light)
+        cd = smp.concentric_sample_disk(u1)
+        r = lt.world_radius
+        p_disk = (
+            lt.world_center
+            + r * (cd[..., 0:1] * vx + cd[..., 1:2] * vy)
+            + r * w_light
+        )
+        o = jnp.where(m[..., None], p_disk, o)
+        d = jnp.where(m[..., None], -w_light, d)
+        nl = jnp.where(m[..., None], -w_light, nl)
+        pdf_pos = jnp.where(m, 1.0 / (jnp.pi * r * r), pdf_pos)
+        pdf_dir = jnp.where(m, 1.0, pdf_dir)
+        le = jnp.where(m[..., None], L, le)
+        delta_pos = delta_pos | m  # direction is the delta; flag reused
+
+    if sc.LIGHT_AREA in light_types:
+        # DiffuseAreaLight::Sample_Le (diffuse.cpp:103): area sample +
+        # cosine hemisphere (flipped for two-sided by a coin from u2[0]).
+        m_area = li_t == sc.LIGHT_AREA
+        stype = lt.shape_type[light_idx]
+        sidx = lt.shape_idx[light_idx]
+        two = lt.two_sided[light_idx]
+
+        m = m_area & (stype == sc.SHAPE_SPHERE)
+        center, radius = _sphere_center_radius(scene, sidx)
+        w_sph = smp.uniform_sample_sphere(u1)
+        p_sph = center + radius[..., None] * w_sph
+        area_sph = 4.0 * jnp.pi * radius * radius
+        o = jnp.where(m[..., None], p_sph, o)
+        nl = jnp.where(m[..., None], w_sph, nl)
+        pdf_pos = jnp.where(m, 1.0 / jnp.maximum(area_sph, 1e-12), pdf_pos)
+
+        m2 = m_area & (stype == sc.SHAPE_TRIANGLE)
+        p0, p1, p2 = _gather_tri(scene, sidx)
+        b = smp.uniform_sample_triangle(u1)
+        p_t = (
+            b[..., 0:1] * p0 + b[..., 1:2] * p1
+            + (1.0 - b[..., 0:1] - b[..., 1:2]) * p2
+        )
+        ng_t = jnp.cross(p1 - p0, p2 - p0)
+        area_t = 0.5 * length(ng_t)
+        ng_t = normalize(ng_t)
+        o = jnp.where(m2[..., None], p_t, o)
+        nl = jnp.where(m2[..., None], ng_t, nl)
+        pdf_pos = jnp.where(m2, 1.0 / jnp.maximum(area_t, 1e-12), pdf_pos)
+
+        m_any = m | m2
+        # Cosine direction about the normal; two-sided flips by u2 coin
+        # (diffuse.cpp:110-125; the coin reuses/remaps u2[0]).
+        flip = two & (u2[..., 0] < 0.5)
+        u2r = jnp.stack(
+            [jnp.where(two, jnp.where(u2[..., 0] < 0.5, 2.0 * u2[..., 0],
+                                      2.0 * (u2[..., 0] - 0.5)), u2[..., 0]),
+             u2[..., 1]], -1,
+        )
+        w_loc = smp.cosine_sample_hemisphere(u2r)
+        nrm = jnp.where(flip[..., None], -nl, nl)
+        nx, ny = coordinate_system(nrm)
+        w_dir = (
+            w_loc[..., 0:1] * nx + w_loc[..., 1:2] * ny + w_loc[..., 2:3] * nrm
+        )
+        cos_d = jnp.abs(w_loc[..., 2])
+        pd = cos_d * smp.INV_PI
+        pd = jnp.where(two, 0.5 * pd, pd)
+        d = jnp.where(m_any[..., None], w_dir, d)
+        pdf_dir = jnp.where(m_any, pd, pdf_dir)
+        le = jnp.where(m_any[..., None], L, le)
+
+    return {
+        "o": o, "d": d, "n_light": nl,
+        "pdf_pos": pdf_pos, "pdf_dir": pdf_dir,
+        "le": le, "is_delta_pos": delta_pos,
+    }
+
+
+def pdf_le(scene: sc.SceneArrays, light_idx, p_on_light, n_light, w,
+           light_types):
+    """Light::Pdf_Le: (pdf_pos, pdf_dir) of emitting from p along w."""
+    lt = scene.lights
+    li_t = lt.light_type[light_idx]
+    n = p_on_light.shape[0]
+    pdf_pos = jnp.zeros((n,), jnp.float32)
+    pdf_dir = jnp.zeros((n,), jnp.float32)
+
+    if sc.LIGHT_POINT in light_types:
+        m = li_t == sc.LIGHT_POINT
+        pdf_pos = jnp.where(m, 1.0, pdf_pos)
+        pdf_dir = jnp.where(m, smp.uniform_sphere_pdf(), pdf_dir)
+    if sc.LIGHT_SPOT in light_types:
+        m = li_t == sc.LIGHT_SPOT
+        c1 = lt.cos_falloff_end[light_idx]
+        inside = dot(w, lt.dir[light_idx]) >= c1
+        pdf_pos = jnp.where(m, 1.0, pdf_pos)
+        pdf_dir = jnp.where(
+            m, jnp.where(inside, smp.uniform_cone_pdf(c1), 0.0), pdf_dir
+        )
+    if sc.LIGHT_DISTANT in light_types:
+        m = li_t == sc.LIGHT_DISTANT
+        r = lt.world_radius
+        pdf_pos = jnp.where(m, 1.0 / (jnp.pi * r * r), pdf_pos)
+        pdf_dir = jnp.where(m, 0.0, pdf_dir)
+    if sc.LIGHT_AREA in light_types:
+        m_area = li_t == sc.LIGHT_AREA
+        stype = lt.shape_type[light_idx]
+        sidx = lt.shape_idx[light_idx]
+        two = lt.two_sided[light_idx]
+        center, radius = _sphere_center_radius(scene, sidx)
+        area_sph = 4.0 * jnp.pi * radius * radius
+        p0, p1, p2 = _gather_tri(scene, sidx)
+        area_t = 0.5 * length(jnp.cross(p1 - p0, p2 - p0))
+        area = jnp.where(stype == sc.SHAPE_SPHERE, area_sph, area_t)
+        cos_d = dot(n_light, w)
+        pd = jnp.where(
+            two, 0.5 * jnp.abs(cos_d), jnp.maximum(cos_d, 0.0)
+        ) * smp.INV_PI
+        pdf_pos = jnp.where(m_area, 1.0 / jnp.maximum(area, 1e-12), pdf_pos)
+        pdf_dir = jnp.where(m_area, pd, pdf_dir)
+    return pdf_pos, pdf_dir
+
+
 def area_light_emission(scene: sc.SceneArrays, arealight_idx, ng, wo):
     """DiffuseAreaLight::L (diffuse.cpp:53): emitted radiance toward wo."""
     lt = scene.lights

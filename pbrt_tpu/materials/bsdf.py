@@ -649,7 +649,9 @@ def _sample_one(mat, wo, u, mat_types):
     if MAT_GLASS in mat_types:
         # FresnelSpecular (reflection.cpp:126-161 Sample_f): choose
         # reflection with prob F, else refract; handles both sides.
-        m = t == MAT_GLASS
+        # SMOOTH glass only — rough lanes take the microfacet branch below
+        # and must NOT be flagged specular.
+        m = (t == MAT_GLASS) & ~mat["is_rough"]
         eta = mat["eta"]
         F = fresnel_dielectric(cos_theta(wo), jnp.ones_like(eta), eta)
         choose_refl = u[..., 0] < F

@@ -67,6 +67,48 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None):
             n_samples=p.find_one_int("nsamples", 64),
         )
         img = ao.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+    elif name == "whitted":
+        from .integrators import whitted as wh
+        from .integrators.direct import DirectLightingConfig
+        from .sceneio.paramset import ParamSet
+
+        p = setup.integrator_params or ParamSet()
+        cfg = DirectLightingConfig(max_depth=p.find_one_int("maxdepth", 5))
+        img = wh.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+    elif name == "bdpt":
+        from .integrators import bdpt as bd
+        from .sceneio.paramset import ParamSet
+
+        p = setup.integrator_params or ParamSet()
+        cfg = bd.BDPTConfig(max_depth=p.find_one_int("maxdepth", 5))
+        img = bd.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+    elif name == "mlt":
+        from .integrators import mlt as ml
+        from .sceneio.paramset import ParamSet
+
+        p = setup.integrator_params or ParamSet()
+        cfg = ml.MLTConfig(
+            max_depth=p.find_one_int("maxdepth", 5),
+            n_bootstrap=p.find_one_int("bootstrapsamples", 4096),
+            n_chains=p.find_one_int("chains", 1024),
+            mutations_per_pixel=p.find_one_int("mutationsperpixel", 4),
+            sigma=p.find_one_float("sigma", 0.01),
+            large_step_prob=p.find_one_float("largestepprobability", 0.3),
+        )
+        img = ml.render(scene, camera, film_cfg, cfg, filt)
+    elif name == "sppm":
+        from .integrators import sppm as sp
+        from .sceneio.paramset import ParamSet
+
+        p = setup.integrator_params or ParamSet()
+        cfg = sp.SPPMConfig(
+            max_depth=p.find_one_int("maxdepth", 5),
+            n_iterations=p.find_one_int("numiterations",
+                                        p.find_one_int("iterations", 16)),
+            photons_per_iteration=p.find_one_int("photonsperiteration", -1),
+            initial_radius=p.find_one_float("radius", 1.0),
+        )
+        img = sp.render(scene, camera, film_cfg, cfg, filt)
     else:
         raise ValueError(f"integrator {name!r} not supported yet")
     img = np.asarray(img)

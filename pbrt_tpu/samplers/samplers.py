@@ -215,6 +215,16 @@ def _maxmin_table():
 
 def get_1d(cfg: SamplerConfig, state, dim: int):
     """Sampler::Get1D at a static dimension.  May mutate state['rng']."""
+    if cfg.name == "pss":
+        # Primary-sample-space passthrough (MLTSampler, mlt.cpp:53-124):
+        # the caller supplies the full uniform vector (mutated by the
+        # Markov chain); dims beyond the vector fall back to a hash.
+        x = state["x"]
+        if dim < x.shape[1]:
+            return x[:, dim]
+        return _rand_float(
+            _mix32(state["chain_key"] ^ _mix32(jnp.uint32(dim * 0x9E37)))
+        )
     if cfg.name == "sobol":
         s = ld.sobol_sample_float64idx(state["hi"], state["lo"], dim)
         if dim < 2:
@@ -262,6 +272,10 @@ def get_1d(cfg: SamplerConfig, state, dim: int):
 
 
 def get_2d(cfg: SamplerConfig, state, dim: int):
+    if cfg.name == "pss":
+        return jnp.stack(
+            [get_1d(cfg, state, dim), get_1d(cfg, state, dim + 1)], -1
+        )
     if cfg.name == "stratified":
         # StratifiedSample2D (stratified.cpp:55): xs x ys strata, shuffled.
         spp = max(cfg.spp, 1)
