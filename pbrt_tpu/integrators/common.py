@@ -170,3 +170,101 @@ def sample_one_light(
         quadric_types,
     )
     return ld / jnp.maximum(pmf, 1e-20)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# BSSRDF exit-point sampling (SeparableBSSRDF::Sample_Sp, bssrdf.cpp:248-330)
+# ---------------------------------------------------------------------------
+
+def sample_bssrdf_sp(scene, rec, frame, mat, u1, u2, quadric_types,
+                     n_probe=4):
+    """Sample a subsurface exit point around the entry point rec.
+
+    pbrt walks an unbounded IntersectionChain along the probe segment
+    (bssrdf.cpp:295-320); the wavefront version is a static n_probe-step
+    re-intersection loop (hits beyond n_probe are dropped — fine for the
+    1-3 crossings of typical closed meshes).
+
+    Returns dict: ok, sp [N,3], pdf [N], nfound [N], and the exit-point
+    record fields p/p_error/ns/ng/dpdu (arrays valid where ok).
+    """
+    from ..materials import bssrdf as bsx
+
+    ss_ax, ts_ax, ns_ax = frame
+    # Projection-axis pick (bssrdf.cpp:252-272): 1/2 ns, 1/4 ss, 1/4 ts.
+    pick0 = u1 < 0.5
+    pick1 = (u1 >= 0.5) & (u1 < 0.75)
+    m0 = pick0[..., None]
+    m1 = pick1[..., None]
+    vx = jnp.where(m0, ss_ax, jnp.where(m1, ts_ax, ns_ax))
+    vy = jnp.where(m0, ts_ax, jnp.where(m1, ns_ax, ss_ax))
+    vz = jnp.where(m0, ns_ax, jnp.where(m1, ss_ax, ts_ax))
+    u1r = jnp.where(pick0, u1 * 2.0,
+                    jnp.where(pick1, (u1 - 0.5) * 4.0, (u1 - 0.75) * 4.0))
+    # Spectral channel pick (bssrdf.cpp:274-277).
+    ch = jnp.clip((u1r * 3.0).astype(jnp.int32), 0, 2)
+    u1r = u1r * 3.0 - ch.astype(jnp.float32)
+    lane = jnp.arange(u1.shape[0])
+    sigma_t_ch = mat["ss_sigma_t"][lane, ch]
+    rho_ch = mat["ss_rho"][lane, ch]
+    tbl = mat["ss_table"]
+    rn, dn_, pf, cd = (scene.bssrdf_rho_nodes, scene.bssrdf_radius_nodes,
+                       scene.bssrdf_profile, scene.bssrdf_cdf)
+
+    r = bsx.sample_sr(rn, dn_, pf, cd, tbl, sigma_t_ch, rho_ch, u2[..., 0])
+    r_max = bsx.sample_sr(rn, dn_, pf, cd, tbl, sigma_t_ch, rho_ch,
+                          jnp.full_like(u1, 0.999))
+    ok = (r >= 0.0) & (r < r_max)
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    l = 2.0 * jnp.sqrt(jnp.maximum(r_max * r_max - r * r, 0.0))
+
+    p_start = (rec["p"]
+               + r[..., None] * (vx * jnp.cos(phi)[..., None]
+                                 + vy * jnp.sin(phi)[..., None])
+               - 0.5 * l[..., None] * vz)
+    p_target = p_start + l[..., None] * vz
+
+    # Bounded probe walk collecting same-material hits.
+    cur_o = p_start
+    walking = ok
+    nfound = jnp.zeros(u1.shape, jnp.int32)
+    probe_hits = []
+    for _ in range(n_probe):
+        seg = p_target - cur_o
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, -1), 1e-20))
+        d = seg / dist[..., None]
+        t, prim = tv.intersect_closest(
+            scene, cur_o, d, dist * _SHADOW_EPS, quadric_types)
+        hrec = tv.hit_record(scene, cur_o, d, t, prim, quadric_types)
+        found = hrec["hit"] & walking
+        match = found & (hrec["material"] == rec["material"])
+        probe_hits.append((match, hrec))
+        nfound = nfound + match.astype(jnp.int32)
+        walking = found
+        adv = offset_ray_origin(
+            hrec["p"], hrec["p_error"], hrec["ng"], p_target - hrec["p"])
+        cur_o = jnp.where(found[..., None], adv, cur_o)
+
+    ok = ok & (nfound > 0)
+    sel = jnp.clip((u1r * nfound.astype(jnp.float32)).astype(jnp.int32),
+                   0, jnp.maximum(nfound - 1, 0))
+    # Pick the sel-th matching hit.
+    pi = {k: jnp.zeros_like(rec[k])
+          for k in ("p", "p_error", "ns", "ng", "dpdu")}
+    cum = jnp.zeros(u1.shape, jnp.int32)
+    for match, hrec in probe_hits:
+        use = match & (cum == sel)
+        for k in pi:
+            pi[k] = jnp.where(use[..., None], hrec[k], pi[k])
+        cum = cum + match.astype(jnp.int32)
+
+    dist_po = jnp.sqrt(jnp.maximum(
+        jnp.sum((rec["p"] - pi["p"]) ** 2, -1), 1e-20))
+    sp = bsx.sr_eval(rn, dn_, pf, tbl, mat["ss_sigma_t"], mat["ss_rho"],
+                     dist_po)
+    pdf = bsx.pdf_sp(rn, dn_, pf, scene.bssrdf_rho_eff, tbl,
+                     mat["ss_sigma_t"], mat["ss_rho"],
+                     rec["p"], ss_ax, ts_ax, ns_ax, pi["p"], pi["ng"])
+    pdf = pdf / jnp.maximum(nfound.astype(jnp.float32), 1.0)
+    ok = ok & (pdf > 0.0) & jnp.any(sp > 0.0, -1)
+    return dict(ok=ok, sp=sp, pdf=pdf, nfound=nfound, **pi)

@@ -39,6 +39,8 @@ class PathConfig:
     max_depth: int = 5
     rr_threshold: float = 1.0
     light_strategy: str = "uniform"  # "uniform" | "power" | "spatial"
+    # BSSRDF probe-walk depth (bounded IntersectionChain, bssrdf.cpp:295-320).
+    ss_probe_depth: int = 4
 
 
 def eval_scene_textures(scene, rec, statics: SceneStatics):
@@ -155,6 +157,86 @@ def li_path(
 
         o = offset_ray_origin(rec["p"], rec["p_error"], rec["ng"], wi_world)
         d = wi_world
+
+        # ---- Subsurface scattering (path.cpp:152-174): lanes that sampled
+        # a transmission event on a BSSRDF material re-emerge at a sampled
+        # exit point pi, with direct lighting + a diffuse (Sw) continuation.
+        # Statically compiled out of scenes without subsurface materials;
+        # when present it consumes 10 extra dims per bounce for every lane
+        # (static schedule; pbrt consumes them only on subsurface paths). ----
+        if sc.MAT_SUBSURFACE in mat_types:
+            u_ss = sa.get_1d(sampler_cfg, sampler_state, dim)
+            u_ss2 = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
+            u_sel2 = sa.get_1d(sampler_cfg, sampler_state, dim + 3)
+            u_li2 = sa.get_2d(sampler_cfg, sampler_state, dim + 4)
+            u_sc2 = sa.get_2d(sampler_cfg, sampler_state, dim + 6)
+            u_bsdf2 = sa.get_2d(sampler_cfg, sampler_state, dim + 8)
+            dim += 10
+            crossed = bs["wi"][..., 2] * wo_local[..., 2] < 0.0
+            do_ss = alive & (mat["type"] == sc.MAT_SUBSURFACE) & crossed
+            spr = common.sample_bssrdf_sp(
+                scene, rec, frame, mat, u_ss, u_ss2, quadric_types,
+                n_probe=cfg.ss_probe_depth,
+            )
+            ok = do_ss & spr["ok"]
+            n_rays = n_rays + (
+                cfg.ss_probe_depth * jnp.sum(do_ss.astype(jnp.float32))
+                + 2.0 * jnp.sum(ok.astype(jnp.float32))
+            )
+            beta = jnp.where(
+                ok[..., None],
+                beta * spr["sp"] / jnp.maximum(spr["pdf"], 1e-20)[..., None],
+                beta,
+            )
+            # S black / pdf 0 -> path dies (path.cpp:159).
+            alive = alive & (~do_ss | ok)
+            pi_rec = {
+                "p": spr["p"], "p_error": spr["p_error"],
+                "ns": spr["ns"], "ng": spr["ng"],
+            }
+            pi_frame = bx.make_frame(spr["ns"], spr["dpdu"])
+            adapter = {
+                "type": jnp.where(ok, sc.MAT_BSSRDF_ADAPTER, -1),
+                "eta": mat["eta"],
+            }
+            # wo at pi is the shading normal (bssrdf.cpp:243): local (0,0,1).
+            wo_pi = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo_local.shape
+            )
+            pick2 = None
+            if cfg.light_strategy == "spatial" and scene.spatial_cdf is not None:
+                from ..lights import lightdistrib as ldist
+
+                pick2 = ldist.spatial_pick_light(
+                    scene.spatial_grid_res, scene.spatial_b0,
+                    scene.spatial_inv_extent, scene.spatial_cdf,
+                    spr["p"], u_sel2,
+                )
+            ld2 = common.sample_one_light(
+                scene, pi_rec, pi_frame, adapter, wo_pi,
+                u_sel2, u_li2, u_sc2,
+                ok, (sc.MAT_BSSRDF_ADAPTER,), light_types, quadric_types,
+                pick=pick2,
+            )
+            L = L + jnp.where(ok[..., None], beta * ld2, 0.0)
+            # Indirect: sample the Sw adapter lobe (path.cpp:167-173).
+            bs2 = bx.sample_material(
+                adapter, wo_pi, u_bsdf2, (sc.MAT_BSSRDF_ADAPTER,)
+            )
+            wi2_world = bx.to_world(*pi_frame, bs2["wi"])
+            contrib2 = bs2["f"] * (
+                absdot(wi2_world, pi_frame[2])
+                / jnp.maximum(bs2["pdf"], 1e-20)
+            )[..., None]
+            alive = alive & (~ok | (bs2["valid"] & jnp.any(bs2["f"] > 0, -1)))
+            beta = jnp.where((ok & alive)[..., None], beta * contrib2, beta)
+            specular_bounce = jnp.where(ok, False, specular_bounce)
+            o = jnp.where(
+                ok[..., None],
+                offset_ray_origin(spr["p"], spr["p_error"], spr["ng"], wi2_world),
+                o,
+            )
+            d = jnp.where(ok[..., None], wi2_world, d)
 
         # ---- Russian roulette (path.cpp:176-184), dim +7 after bounce 3 ----
         if bounce > 3:

@@ -31,6 +31,7 @@ from ..core import sampling as smp
 from ..core.sampling import INV_PI
 from . import microfacet as mf
 from ..scene import (
+    MAT_BSSRDF_ADAPTER,
     MAT_DISNEY,
     MAT_FOURIER,
     MAT_GLASS,
@@ -41,6 +42,7 @@ from ..scene import (
     MAT_MIX,
     MAT_PLASTIC,
     MAT_SUBSTRATE,
+    MAT_SUBSURFACE,
     MAT_UBER,
     MAT_TRANSLUCENT,
 )
@@ -464,10 +466,12 @@ def _eval_one(mat, wo, wi, mat_types):
             m, microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi), pdf
         )
 
-    if MAT_GLASS in mat_types:
+    if MAT_GLASS in mat_types or MAT_SUBSURFACE in mat_types:
         # Rough glass only (roughness > 0): microfacet refl + trans
-        # (materials/glass.cpp:62-87); specular glass evals to 0.
-        m = (t == MAT_GLASS) & mat["is_rough"]
+        # (materials/glass.cpp:62-87); specular glass evals to 0.  Subsurface
+        # materials carry the identical rough/smooth dielectric surface BSDF
+        # (materials/subsurface.cpp:49-92).
+        m = ((t == MAT_GLASS) | (t == MAT_SUBSURFACE)) & mat["is_rough"]
         fres = lambda c: fresnel_dielectric(c, 1.0, mat["eta"])[..., None]
         f_r = microfacet_reflection_f(mat["kr"], mat["ax"], mat["ay"], wo, wi, fres)
         f_t = microfacet_transmission_f(
@@ -527,6 +531,17 @@ def _eval_one(mat, wo, wi, mat_types):
         f_m, pdf_m = fz.fourier_eval(mat, wo, wi)
         f = jnp.where(m[..., None], f_m, f)
         pdf = jnp.where(m, pdf_m, pdf)
+
+    if MAT_BSSRDF_ADAPTER in mat_types:
+        # SeparableBSSRDFAdapter.f = Sw(wi) * eta^2 in radiance mode
+        # (bssrdf.h:153-166); diffuse reflection lobe, cosine pdf.
+        from . import bssrdf as bsx
+
+        m = t == MAT_BSSRDF_ADAPTER
+        f_m = (bsx.sw(mat["eta"], wi[..., 2]) * mat["eta"] ** 2)[..., None]
+        f_m = jnp.where(refl[..., None], jnp.broadcast_to(f_m, wo.shape), 0.0)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, cosine_pdf(wo, wi), pdf)
 
     # MAT_MIRROR / specular MAT_GLASS: specular only -> f = 0, pdf = 0.
     return f, pdf
@@ -646,12 +661,13 @@ def _sample_one(mat, wo, u, mat_types):
         pdf = jnp.where(m, 1.0, pdf)
         is_spec = is_spec | m
 
-    if MAT_GLASS in mat_types:
+    if MAT_GLASS in mat_types or MAT_SUBSURFACE in mat_types:
         # FresnelSpecular (reflection.cpp:126-161 Sample_f): choose
         # reflection with prob F, else refract; handles both sides.
         # SMOOTH glass only — rough lanes take the microfacet branch below
-        # and must NOT be flagged specular.
-        m = (t == MAT_GLASS) & ~mat["is_rough"]
+        # and must NOT be flagged specular.  Smooth subsurface surfaces use
+        # the same FresnelSpecular (subsurface.cpp:60-62).
+        m = ((t == MAT_GLASS) | (t == MAT_SUBSURFACE)) & ~mat["is_rough"]
         eta = mat["eta"]
         F = fresnel_dielectric(cos_theta(wo), jnp.ones_like(eta), eta)
         choose_refl = u[..., 0] < F
@@ -682,10 +698,10 @@ def _sample_one(mat, wo, u, mat_types):
         pdf = jnp.where(m, pdf_m, pdf)
         is_spec = is_spec | m
 
-    if MAT_GLASS in mat_types:
+    if MAT_GLASS in mat_types or MAT_SUBSURFACE in mat_types:
         # Rough glass (materials/glass.cpp:62-87): 2 matching non-specular
         # lobes; pick by u0 halves, remap, f summed, pdf averaged.
-        m = (t == MAT_GLASS) & mat["is_rough"]
+        m = ((t == MAT_GLASS) | (t == MAT_SUBSURFACE)) & mat["is_rough"]
         pick_t = u[..., 0] >= 0.5
         u0 = jnp.where(pick_t, 2.0 * (u[..., 0] - 0.5), 2.0 * u[..., 0])
         u_re = jnp.stack([jnp.minimum(u0, 1.0 - 1e-7), u[..., 1]], -1)
@@ -862,6 +878,19 @@ def _sample_one(mat, wo, u, mat_types):
         f = jnp.where(m[..., None], s["f"], f)
         pdf = jnp.where(m, s["pdf"], pdf)
 
+    if MAT_BSSRDF_ADAPTER in mat_types:
+        # SeparableBSSRDFAdapter: diffuse lobe -> default BxDF::Sample_f
+        # cosine-hemisphere sampling; f = Sw(wi) * eta^2 (bssrdf.h:153-166).
+        from . import bssrdf as bsx
+
+        m = t == MAT_BSSRDF_ADAPTER
+        wi_m = _cosine_sample_wi(wo, u)
+        f_m = (bsx.sw(mat["eta"], wi_m[..., 2]) * mat["eta"] ** 2)[..., None]
+        f_m = jnp.broadcast_to(f_m, wo.shape)
+        wi = jnp.where(m[..., None], wi_m, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, cosine_pdf(wo, wi_m), pdf)
+
     valid = (pdf > 0.0) & jnp.any(f != 0.0, axis=-1)
     return {"wi": wi, "f": f, "pdf": pdf, "is_specular": is_spec, "valid": valid}
 
@@ -926,7 +955,15 @@ def _gather_base(table, mat_id, tex_values=None):
     opacity = table.opacity[mid]
     if tex_values is not None:
         opacity = gather_texture(tex_values, table.opacity_tex[mid], opacity)
+    ss_extra = {}
+    if table.ss_sigma_t is not None:
+        ss_extra = {
+            "ss_sigma_t": table.ss_sigma_t[mid],
+            "ss_rho": table.ss_rho[mid],
+            "ss_table": table.ss_table[mid],
+        }
     return {
+        **ss_extra,
         "type": jnp.where(mat_id >= 0, table.mat_type[mid], -1),
         "kd": kd,
         "ks": ks,

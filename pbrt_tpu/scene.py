@@ -55,6 +55,11 @@ MAT_FOURIER = 8
 MAT_DISNEY = 9
 MAT_MIX = 10
 MAT_HAIR = 11
+MAT_SUBSURFACE = 12  # subsurface + kdsubsurface (TabulatedBSSRDF)
+# Internal: the BSSRDF exit-point "material" (SeparableBSSRDFAdapter,
+# bssrdf.h:153-171) — never appears in the material table; synthesized by the
+# path integrator at sampled exit points.
+MAT_BSSRDF_ADAPTER = 13
 
 
 @pytree_dataclass
@@ -94,6 +99,12 @@ class MaterialTable:
     rough_tex: jnp.ndarray
     bump_tex: jnp.ndarray
     opacity_tex: jnp.ndarray
+    # Subsurface (TabulatedBSSRDF, bssrdf.h:117-137): world-space sigma_t and
+    # single-scattering albedo rho per channel, + index into the stacked
+    # beam-diffusion tables (one per distinct (g, eta)).
+    ss_sigma_t: jnp.ndarray = None  # [M,3]
+    ss_rho: jnp.ndarray = None  # [M,3]
+    ss_table: jnp.ndarray = None  # [M] i32
 
 
 @pytree_dataclass
@@ -188,6 +199,13 @@ class SceneArrays:
     kd_prim_ids: jnp.ndarray = None  # [K] i32 into ordered prim records
     kd_wb_min: jnp.ndarray = None  # [3]
     kd_wb_max: jnp.ndarray = None  # [3]
+    # ---- BSSRDF beam-diffusion tables (materials/bssrdf.py), stacked over
+    # distinct (g, eta) pairs: profile/cdf rows are [(K*100), 64] ----
+    bssrdf_rho_nodes: jnp.ndarray = None  # [100]
+    bssrdf_radius_nodes: jnp.ndarray = None  # [64]
+    bssrdf_profile: jnp.ndarray = None  # [K*100, 64]
+    bssrdf_cdf: jnp.ndarray = None  # [K*100, 64]
+    bssrdf_rho_eff: jnp.ndarray = None  # [K*100]
 
 
 # ---------------------------------------------------------------------------
@@ -605,7 +623,7 @@ class SceneBuilder:
             q_params = np.ones((1, 4), np.float32)
             q_rev = np.zeros(1, bool)
 
-        materials = self._build_materials()
+        materials, bssrdf_extra = self._build_materials()
         lights, light_distr = self._build_lights(bmin, bmax)
 
         tri_verts = tri_p[tri_indices].reshape(-1, 9).astype(np.float32)
@@ -689,6 +707,7 @@ class SceneBuilder:
                 )
         return SceneArrays(
             **kd_extra,
+            **bssrdf_extra,
             bvh_min=jnp.asarray(bvh.nodes_min),
             bvh_max=jnp.asarray(bvh.nodes_max),
             bvh_offset=jnp.asarray(bvh.offset),
@@ -741,7 +760,7 @@ class SceneBuilder:
             media=self.media.freeze(),
         )
 
-    def _build_materials(self) -> MaterialTable:
+    def _build_materials(self):
         jnp = _HostNp()
         mats = self.materials or [dict(mat_type=MAT_MATTE, kd=(0.5, 0.5, 0.5),
                                        ks=(0.25,) * 3, kr=(0.9,) * 3, kt=(1.0,) * 3,
@@ -760,7 +779,56 @@ class SceneBuilder:
                 np.array([int(m.get(key, -1)) for m in mats], np.int32)
             )
 
+        # Subsurface columns + stacked beam-diffusion tables (one table per
+        # distinct (g, eta); materials/subsurface.cpp:43-50 builds the table
+        # in the material ctor — we build at scene compile).
+        ss_sigma_t = np.zeros((len(mats), 3), np.float32)
+        ss_rho = np.zeros((len(mats), 3), np.float32)
+        ss_table = np.zeros(len(mats), np.int32)
+        bssrdf_extra = {}
+        ss_rows = [i for i, m in enumerate(mats)
+                   if m["mat_type"] == MAT_SUBSURFACE]
+        if ss_rows:
+            from .materials import bssrdf as bsx
+
+            keys, tables = [], []
+            for i in ss_rows:
+                m = mats[i]
+                g = float(m.get("ss_g", 0.0))
+                eta = float(m.get("eta", 1.33))
+                key = (round(g, 6), round(eta, 6))
+                if key not in keys:
+                    keys.append(key)
+                    tables.append(bsx.compute_beam_diffusion_bssrdf(g, eta))
+                ss_table[i] = keys.index(key)
+                scale = float(m.get("ss_scale", 1.0))
+                sig_a = scale * np.asarray(
+                    m.get("ss_sigma_a", (0.0011, 0.0024, 0.014)), np.float32)
+                sig_s = scale * np.asarray(
+                    m.get("ss_sigma_s", (2.55, 3.21, 3.77)), np.float32)
+                st = sig_a + sig_s
+                ss_sigma_t[i] = st
+                ss_rho[i] = np.where(st > 0, sig_s / np.maximum(st, 1e-20), 0.0)
+            bssrdf_extra = dict(
+                bssrdf_rho_nodes=jnp.asarray(tables[0]["rho"]),
+                bssrdf_radius_nodes=jnp.asarray(tables[0]["radius"]),
+                bssrdf_profile=jnp.asarray(
+                    np.concatenate([t["profile"] for t in tables])),
+                bssrdf_cdf=jnp.asarray(
+                    np.concatenate([t["cdf"] for t in tables])),
+                bssrdf_rho_eff=jnp.asarray(
+                    np.concatenate([t["rho_eff"] for t in tables])),
+            )
+
+        ss_cols = {}
+        if ss_rows:
+            ss_cols = dict(
+                ss_sigma_t=jnp.asarray(ss_sigma_t),
+                ss_rho=jnp.asarray(ss_rho),
+                ss_table=jnp.asarray(ss_table),
+            )
         return MaterialTable(
+            **ss_cols,
             mat_type=jnp.asarray(np.array([m["mat_type"] for m in mats], np.int32)),
             kd=jnp.asarray(col("kd")),
             ks=jnp.asarray(col("ks")),
@@ -803,7 +871,7 @@ class SceneBuilder:
             rough_tex=icol("roughness_tex"),
             bump_tex=icol("bump_tex"),
             opacity_tex=icol("opacity_tex"),
-        )
+        ), bssrdf_extra
 
     def _light_power(self, li: dict, world_radius: float) -> float:
         """Approximate emitted power for the 'power' strategy

@@ -548,9 +548,55 @@ class PbrtApi:
                 ps.find_one_float("alpha", 2.0),
             )
             kw["eta"] = ps.find_one_float("eta", 1.55)
+        elif name in ("subsurface", "kdsubsurface"):
+            # materials/subsurface.cpp CreateSubsurfaceMaterial /
+            # kdsubsurface.cpp CreateKdSubsurfaceMaterial.
+            mt = sc.MAT_SUBSURFACE
+            g = ps.find_one_float("g", 0.0)
+            scale = ps.find_one_float("scale", 1.0)
+            eta = ps.find_one_float("eta", 1.33)
+            kw["kr"] = ps.find_one_spectrum("Kr", 1.0)
+            kw["kt"] = ps.find_one_spectrum("Kt", 1.0)
+            kw["roughness"] = 0.0
+            kw["urough"] = ps.find_one_float("uroughness", 0.0)
+            kw["vrough"] = ps.find_one_float("vroughness", 0.0)
+            kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
+            kw["eta"] = eta
+            if name == "subsurface":
+                sig_a = (0.0011, 0.0024, 0.014)
+                sig_s = (2.55, 3.21, 3.77)
+                named = ps.find_one_string("name", "")
+                if named:
+                    from ..materials.measuredss import (
+                        get_medium_scattering_properties,
+                    )
+
+                    props = get_medium_scattering_properties(named)
+                    if props is None:
+                        log.warning(
+                            "named subsurface material %r not found; "
+                            "using defaults", named)
+                    else:
+                        sig_s, sig_a = props
+                        g = 0.0  # database stores reduced coefficients
+                kw["ss_sigma_a"] = ps.find_one_spectrum("sigma_a", sig_a)
+                kw["ss_sigma_s"] = ps.find_one_spectrum("sigma_s", sig_s)
+            else:
+                # kdsubsurface: invert the diffusion profile for (Kd, mfp)
+                # (SubsurfaceFromDiffuse, bssrdf.cpp:180-189).
+                from ..materials import bssrdf as bsx
+
+                kd = np.asarray(ps.find_one_spectrum("Kd", 0.5), np.float64)
+                mfp = np.asarray(ps.find_one_spectrum("mfp", 1.0), np.float64)
+                tbl = bsx.compute_beam_diffusion_bssrdf(g, eta)
+                sig_a, sig_s = bsx.subsurface_from_diffuse(tbl, kd, mfp)
+                kw["ss_sigma_a"] = tuple(sig_a.tolist())
+                kw["ss_sigma_s"] = tuple(sig_s.tolist())
+            kw["ss_g"] = g
+            kw["ss_scale"] = scale
         else:
-            # "fourier" (tabulated), "subsurface"/"kdsubsurface" (BSSRDF):
-            # pending milestones — degrade to matte loudly.
+            # "fourier" (tabulated measured BSDF) is handled above; anything
+            # else degrades to matte loudly.
             log.warning("material %r not yet supported; using matte", name)
             mt = sc.MAT_MATTE
             kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
