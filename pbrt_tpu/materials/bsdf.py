@@ -962,6 +962,9 @@ def _gather_base(table, mat_id, tex_values=None):
             "ss_rho": table.ss_rho[mid],
             "ss_table": table.ss_table[mid],
         }
+    if table.fourier:
+        ss_extra["fourier_id"] = table.fourier_id[mid]
+        ss_extra["fourier_tables"] = table.fourier
     return {
         **ss_extra,
         "type": jnp.where(mat_id >= 0, table.mat_type[mid], -1),

@@ -105,6 +105,10 @@ class MaterialTable:
     ss_sigma_t: jnp.ndarray = None  # [M,3]
     ss_rho: jnp.ndarray = None  # [M,3]
     ss_table: jnp.ndarray = None  # [M] i32
+    # Fourier (tabulated measured BSDF, reflection.h:130): per-material index
+    # into the `fourier` tuple of FourierTable pytrees (-1 = none).
+    fourier_id: jnp.ndarray = None  # [M] i32
+    fourier: tuple = ()  # tuple[FourierTable]
 
 
 @pytree_dataclass
@@ -827,6 +831,24 @@ class SceneBuilder:
                 ss_rho=jnp.asarray(ss_rho),
                 ss_table=jnp.asarray(ss_table),
             )
+
+        # Fourier tables: load each distinct .bsdf file once; material rows
+        # index the stacked tuple (materials/fourier.cpp loadedBSDFs cache).
+        f_paths: dict = {}
+        f_tables: list = []
+        fourier_id = np.full(len(mats), -1, np.int32)
+        for i, m in enumerate(mats):
+            if m["mat_type"] == MAT_FOURIER:
+                path = m.get("fourier_file", "")
+                if path not in f_paths:
+                    from .materials.fourier import read_bsdf
+
+                    f_paths[path] = len(f_tables)
+                    f_tables.append(read_bsdf(path))
+                fourier_id[i] = f_paths[path]
+        if f_tables:
+            ss_cols["fourier_id"] = jnp.asarray(fourier_id)
+            ss_cols["fourier"] = tuple(f_tables)
         return MaterialTable(
             **ss_cols,
             mat_type=jnp.asarray(np.array([m["mat_type"] for m in mats], np.int32)),

@@ -594,9 +594,19 @@ class PbrtApi:
                 kw["ss_sigma_s"] = tuple(sig_s.tolist())
             kw["ss_g"] = g
             kw["ss_scale"] = scale
+        elif name == "fourier":
+            # materials/fourier.cpp CreateFourierMaterial: tabulated measured
+            # BSDF from a layerlab 'SCATFUN' file.
+            mt = sc.MAT_FOURIER
+            fname = ps.find_one_string("bsdffile", "")
+            if not fname:
+                log.warning("fourier material without bsdffile; using matte")
+                mt = sc.MAT_MATTE
+                kw["kd"] = (0.5, 0.5, 0.5)
+            else:
+                kw["fourier_file"] = self._resolve_path(fname)
         else:
-            # "fourier" (tabulated measured BSDF) is handled above; anything
-            # else degrades to matte loudly.
+            # anything else degrades to matte loudly.
             log.warning("material %r not yet supported; using matte", name)
             mt = sc.MAT_MATTE
             kw["kd"] = ps.find_one_spectrum("Kd", 0.5)
