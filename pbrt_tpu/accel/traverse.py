@@ -425,6 +425,8 @@ def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
     uv = jnp.where(is_tri[..., None], uv_t, 0.0)
     p_err = jnp.where(is_tri[..., None], perr_t, 0.0)
     dpdu = jnp.where(is_tri[..., None], dpdu_t, unit_x)
+    unit_y = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), p_t.shape)
+    dpdv = jnp.where(is_tri[..., None], dpdv_t, unit_y)
 
     if quadric_types:
         qidx = jnp.clip(pidx, 0, scene.q_type.shape[0] - 1)
@@ -452,8 +454,9 @@ def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
             # dpdu for quadrics: any tangent frame (bsdf only needs consistency).
             from ..core.vecmath import coordinate_system
 
-            tq, _ = coordinate_system(jnp.where(m[..., None], ngq, ns))
+            tq, bq = coordinate_system(jnp.where(m[..., None], ngq, ns))
             dpdu = jnp.where(m[..., None], tq, dpdu)
+            dpdv = jnp.where(m[..., None], bq, dpdv)
 
     return {
         "hit": hit,
@@ -465,7 +468,62 @@ def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
         "uv": uv,
         "p_error": p_err,
         "dpdu": dpdu,
+        "dpdv": dpdv,
         "wo": -d,
         "material": jnp.where(hit, scene.prim_material[pid], -1),
         "arealight": jnp.where(hit, scene.prim_arealight[pid], -1),
     }
+
+
+def uv_differentials(rec, rx_o, rx_d, ry_o, ry_d):
+    """SurfaceInteraction::ComputeDifferentials (interaction.cpp:160-220):
+    intersect the camera's auxiliary (x/y-offset) rays with the tangent
+    plane at the hit, then least-squares-solve dpdx = dpdu*dudx + dpdv*dvdx
+    on the two coordinate axes where |n| is smallest.
+
+    Returns (duvdx [N,2], duvdy [N,2]); zeros on degenerate frames/misses.
+    """
+    p, n = rec["p"], rec["ng"]
+    dpdu, dpdv = rec["dpdu"], rec["dpdv"]
+    d_plane = jnp.sum(n * p, -1)
+
+    def plane_dp(ro, rd):
+        denom = jnp.sum(n * rd, -1)
+        tx = -(jnp.sum(n * ro, -1) - d_plane) / jnp.where(
+            jnp.abs(denom) < 1e-12, 1.0, denom
+        )
+        px = ro + tx[..., None] * rd
+        return px - p, jnp.abs(denom) >= 1e-12
+
+    dpdx, okx = plane_dp(rx_o, rx_d)
+    dpdy, oky = plane_dp(ry_o, ry_d)
+
+    an = jnp.abs(n)
+    # dim selection (interaction.cpp:197-205).
+    use_yz = (an[..., 0] > an[..., 1]) & (an[..., 0] > an[..., 2])
+    use_xz = ~use_yz & (an[..., 1] > an[..., 2])
+    d0 = jnp.where(use_yz, 1, jnp.where(use_xz, 0, 0))
+    d1 = jnp.where(use_yz, 2, jnp.where(use_xz, 2, 1))
+
+    def pick(v, i):
+        return jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+
+    a00 = pick(dpdu, d0)
+    a01 = pick(dpdv, d0)
+    a10 = pick(dpdu, d1)
+    a11 = pick(dpdv, d1)
+    det = a00 * a11 - a01 * a10
+    ok = jnp.abs(det) >= 1e-10
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+
+    def solve(dp, okr):
+        bx0 = pick(dp, d0)
+        bx1 = pick(dp, d1)
+        du = (a11 * bx0 - a01 * bx1) * inv
+        dv = (a00 * bx1 - a10 * bx0) * inv
+        good = ok & okr & rec["hit"]
+        return jnp.where(
+            good[..., None], jnp.stack([du, dv], -1), 0.0
+        )
+
+    return solve(dpdx, okx), solve(dpdy, oky)

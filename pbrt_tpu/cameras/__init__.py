@@ -4,6 +4,7 @@ from .cameras import (
     make_orthographic_camera,
     make_environment_camera,
     generate_rays,
+    generate_ray_differentials,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "make_orthographic_camera",
     "make_environment_camera",
     "generate_rays",
+    "generate_ray_differentials",
 ]

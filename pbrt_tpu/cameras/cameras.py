@@ -211,6 +211,30 @@ def generate_rays(cam, p_film, p_lens, time_u):
     return o, d, time, jnp.ones((n,), jnp.float32)
 
 
+def generate_ray_differentials(cam, p_film, p_lens, time_u, spp: int = 1):
+    """Camera::GenerateRayDifferential (camera.cpp:68-85): regenerate the ray
+    at pFilm+(1,0) and pFilm+(0,1) with the same lens/time samples (the
+    generic fallback every camera shares; PerspectiveCamera's analytic
+    override, perspective.cpp:122-148, computes the identical values), then
+    ScaleDifferentials(1/sqrt(spp)) (integrator.cpp:290, geometry.h:1124).
+
+    Returns (o, d, time, weight, rx_o, rx_d, ry_o, ry_d).
+    """
+    o, d, time, w = generate_rays(cam, p_film, p_lens, time_u)
+    dxf = jnp.asarray([1.0, 0.0], jnp.float32)
+    dyf = jnp.asarray([0.0, 1.0], jnp.float32)
+    rx_o, rx_d, _, _ = generate_rays(cam, p_film + dxf, p_lens, time_u)
+    ry_o, ry_d, _, _ = generate_rays(cam, p_film + dyf, p_lens, time_u)
+    import math
+
+    s = 1.0 / math.sqrt(max(int(spp), 1))
+    rx_o = o + (rx_o - o) * s
+    ry_o = o + (ry_o - o) * s
+    rx_d = d + (rx_d - d) * s
+    ry_d = d + (ry_d - d) * s
+    return o, d, time, w, rx_o, rx_d, ry_o, ry_d
+
+
 # ---------------------------------------------------------------------------
 # BDPT camera importance (perspective.cpp:185-260: We / Pdf_We / Sample_Wi).
 # Perspective only (pbrt likewise implements these on PerspectiveCamera).

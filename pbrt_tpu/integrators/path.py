@@ -43,13 +43,15 @@ class PathConfig:
     ss_probe_depth: int = 4
 
 
-def eval_scene_textures(scene, rec, statics: SceneStatics):
+def eval_scene_textures(scene, rec, statics: SceneStatics, duv=None):
     if not statics.has_textures:
         return None
     from ..textures.textures import evaluate_textures
 
+    duvdx, duvdy = duv if duv is not None else (None, None)
     return evaluate_textures(
-        scene.textures, rec["uv"], rec["p"], statics.tex_ids, statics.tex_meta
+        scene.textures, rec["uv"], rec["p"], statics.tex_ids, statics.tex_meta,
+        duvdx=duvdx, duvdy=duvdy,
     )
 
 
@@ -63,6 +65,7 @@ def li_path(
     statics: SceneStatics,
     start_dim: int = 5,
     count_rays: bool = False,
+    ray_diffs=None,
 ):
     """Radiance along a batch of camera rays.  Returns L [N,3]
     (or (L, n_rays_traced) when count_rays — the Mrays/s denominator:
@@ -105,7 +108,13 @@ def li_path(
             break
 
         # ---- shading setup ----
-        tex_vals = eval_scene_textures(scene, rec, statics)
+        # Camera rays carry differentials (bounce 0 only: pbrt's scattered
+        # rays have hasDifferentials=false, path.cpp Li never re-derives
+        # them), driving mip-level selection at the first hit.
+        duv = None
+        if bounce == 0 and ray_diffs is not None:
+            duv = tv.uv_differentials(rec, *ray_diffs)
+        tex_vals = eval_scene_textures(scene, rec, statics, duv=duv)
         mat = bx.gather_material(scene.materials, rec["material"], tex_vals, mat_types, uv=rec["uv"])
         frame = bx.make_frame(rec["ns"], rec["dpdu"])
         ss, ts, ns = frame
@@ -284,10 +293,15 @@ def render_sample_batch(
         sampler_cfg, pixels, jnp.full((n,), sample_num, jnp.uint32)
     )
     p_film, time_u, p_lens = sa.get_camera_sample(sampler_cfg, state, pixels)
-    from ..cameras import generate_rays
+    from ..cameras import generate_ray_differentials
 
-    o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
-    L = li_path(scene, o, d, sampler_cfg, state, cfg, statics)
+    o, d, time, weight, rx_o, rx_d, ry_o, ry_d = generate_ray_differentials(
+        camera, p_film, p_lens, time_u, spp=sampler_cfg.spp
+    )
+    ray_diffs = (rx_o, rx_d, ry_o, ry_d) if statics.has_textures else None
+    L = li_path(
+        scene, o, d, sampler_cfg, state, cfg, statics, ray_diffs=ray_diffs
+    )
     # NaN/negative checks -> black (integrator.cpp:294-315).
     bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
     L = jnp.where(bad[..., None], 0.0, L)

@@ -382,8 +382,17 @@ class PbrtApi:
                     log.warning("imagemap %r failed to load: %s", fname, e)
             if img is None:
                 img = np.full((4, 4, 3), 0.5, np.float32)
+            wrap_s = ps.find_one_string("wrap", "repeat")
+            wrap = {"repeat": tx.WRAP_REPEAT, "black": tx.WRAP_BLACK,
+                    "clamp": tx.WRAP_CLAMP}.get(wrap_s, tx.WRAP_REPEAT)
             return tt.add(
-                tx.TEX_IMAGEMAP, c1=(scale, scale, scale), map2d=map2d, image=img
+                tx.TEX_IMAGEMAP, c1=(scale, scale, scale), map2d=map2d,
+                image=img,
+                fparams=(
+                    1.0 if ps.find_one_bool("trilinear", False) else 0.0,
+                    ps.find_one_float("maxanisotropy", 8.0),
+                    float(wrap), 0.0,
+                ),
             )
         log.warning("texture class %r unsupported; constant 0.5", tclass)
         return tt.add(tx.TEX_CONSTANT, c1=(0.5, 0.5, 0.5))

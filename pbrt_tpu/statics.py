@@ -52,6 +52,7 @@ def scene_statics(scene) -> SceneStatics:
                 np.asarray(scene.textures.child1).tolist(),
                 np.asarray(scene.textures.child2).tolist(),
                 [tuple(f) for f in np.asarray(scene.textures.fparams).tolist()],
+                np.asarray(scene.textures.n_levels).tolist(),
             )
         )
     medium_types = ()
