@@ -46,8 +46,10 @@ def timeit(name, fn, *args, reps=3):
 
 def main():
     scene, camera = B.build_scene()
-    import jax.numpy as _jnp
-    dscene = None
+    # One-time upload: numpy leaves passed as jit args re-upload per call
+    # through the remote tunnel (~300ms/17MB) and poison every measurement.
+    scene = jax.device_put(scene)
+    camera = jax.device_put(camera)
     RES = B.RES
     film_cfg = fm.FilmConfig(full_resolution=RES)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))[:40960]
