@@ -79,9 +79,10 @@ def main():
     camera = jax.device_put(camera)
     setup_s = time.time() - t_setup
 
-    # Pixels processed in fixed 40k-ray chunks (the largest batch validated
-    # stable on the axon TPU backend for killeroo-scale scenes).
-    CHUNK = 40000
+    # Pixels processed in fixed-size chunks.  160k is stable since the
+    # packet kernel became grid-pipelined (per-packet VMEM blocks; the old
+    # whole-batch-in-VMEM layout faulted the chip above ~100k rays).
+    CHUNK = 160000
     n_pix = pixels.shape[0]
     chunks = [pixels[i : i + CHUNK] for i in range(0, n_pix, CHUNK)
               if i + CHUNK <= n_pix] or [pixels[:CHUNK]]

@@ -82,6 +82,17 @@ def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
             m = (ptype == sc.SHAPE_DISK) & s["hit"]
             t = jnp.where(m & (s["t"] < t), s["t"], t)
             hit = hit | m
+        for qt, fn in (
+            (sc.SHAPE_CONE, quad.intersect_cone_object),
+            (sc.SHAPE_PARABOLOID, quad.intersect_paraboloid_object),
+            (sc.SHAPE_HYPERBOLOID, quad.intersect_hyperboloid_object),
+        ):
+            if qt in quadric_types:
+                par8 = qp[..., 12:24]
+                s = fn(oo, od, t_best, par8)
+                m = (ptype == qt) & s["hit"]
+                t = jnp.where(m & (s["t"] < t), s["t"], t)
+                hit = hit | m
     return hit, t
 
 
@@ -377,30 +388,31 @@ def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
     """
     hit = prim_id >= 0
     pid = jnp.clip(prim_id, 0, scene.prim_type.shape[0] - 1)
-    ptype = scene.prim_type[pid]
-    pidx = scene.prim_idx[pid]
+    meta = scene.prim_meta[pid]  # ONE [P,4] row gather
+    ptype = meta[..., 0]
+    pidx = meta[..., 1]
 
-    # Triangle attributes.
-    vid = scene.tri_indices[jnp.clip(pidx, 0, scene.tri_indices.shape[0] - 1)]
-    p0 = scene.tri_p[vid[..., 0]]
-    p1 = scene.tri_p[vid[..., 1]]
-    p2 = scene.tri_p[vid[..., 2]]
+    # Triangle attributes: ONE [T,26] row gather (v | uv | n | has_n) —
+    # built host-side; replaces ~11 per-vertex gathers that made this stage
+    # cost more than traversal itself.
+    attr = scene.tri_attr[jnp.clip(pidx, 0, scene.tri_attr.shape[0] - 1)]
+    p0 = attr[..., 0:3]
+    p1 = attr[..., 3:6]
+    p2 = attr[..., 6:9]
     tri = intersect_triangle(o, d, jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf), p0, p1, p2)
     from ..shapes.triangle import triangle_geometry
 
-    uv_default = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], jnp.float32)
-    has_uv = scene.tri_has_uv[jnp.clip(pidx, 0, scene.tri_has_uv.shape[0] - 1)]
-    uv0 = jnp.where(has_uv[..., None], scene.tri_uv[vid[..., 0]], uv_default[0])
-    uv1 = jnp.where(has_uv[..., None], scene.tri_uv[vid[..., 1]], uv_default[1])
-    uv2 = jnp.where(has_uv[..., None], scene.tri_uv[vid[..., 2]], uv_default[2])
+    uv0 = attr[..., 9:11]
+    uv1 = attr[..., 11:13]
+    uv2 = attr[..., 13:15]
     ng_t, dpdu_t, dpdv_t = triangle_geometry(p0, p1, p2, uv0, uv1, uv2)
     b0, b1, b2 = tri["b0"], tri["b1"], tri["b2"]
     uv_t = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
-    has_n = scene.tri_has_n[jnp.clip(pidx, 0, scene.tri_has_n.shape[0] - 1)]
+    has_n = attr[..., 24] > 0.0
     ns_raw = (
-        b0[..., None] * scene.tri_n[vid[..., 0]]
-        + b1[..., None] * scene.tri_n[vid[..., 1]]
-        + b2[..., None] * scene.tri_n[vid[..., 2]]
+        b0[..., None] * attr[..., 15:18]
+        + b1[..., None] * attr[..., 18:21]
+        + b2[..., None] * attr[..., 21:24]
     )
     ns_len = jnp.sqrt(jnp.sum(ns_raw * ns_raw, axis=-1, keepdims=True))
     ns_t = jnp.where(
@@ -439,11 +451,20 @@ def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
             sc.SHAPE_CYLINDER: quad.intersect_cylinder,
             sc.SHAPE_DISK: quad.intersect_disk,
         }
+        fns_par = {
+            sc.SHAPE_CONE: quad.intersect_cone,
+            sc.SHAPE_PARABOLOID: quad.intersect_paraboloid,
+            sc.SHAPE_HYPERBOLOID: quad.intersect_hyperboloid,
+        }
         for qt in quadric_types:
-            s = fns[qt](
-                o, d, jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf),
-                w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3],
-            )
+            t_arg = jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf)
+            if qt in fns_par:
+                s = fns_par[qt](o, d, t_arg, w2o, o2w, par[..., :12])
+            else:
+                s = fns[qt](
+                    o, d, t_arg,
+                    w2o, o2w, par[..., 0], par[..., 1], par[..., 2], par[..., 3],
+                )
             m = (ptype == qt) & s["hit"]
             ngq = jnp.where(rev[..., None], -s["ng"], s["ng"])
             p = jnp.where(m[..., None], s["p_hit"], p)
@@ -470,8 +491,8 @@ def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
         "dpdu": dpdu,
         "dpdv": dpdv,
         "wo": -d,
-        "material": jnp.where(hit, scene.prim_material[pid], -1),
-        "arealight": jnp.where(hit, scene.prim_arealight[pid], -1),
+        "material": jnp.where(hit, meta[..., 2], -1),
+        "arealight": jnp.where(hit, meta[..., 3], -1),
     }
 
 

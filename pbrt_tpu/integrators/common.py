@@ -52,12 +52,19 @@ def estimate_direct(
     mat_types,
     light_types,
     quadric_types,
+    tr_fn=None,
+    isect_tr_fn=None,
 ):
     """EstimateDirect (integrator.cpp:108-215), specular=false.
 
     rec: hit record dict; frame: (ss, ts, ns); mat: per-lane material params;
     wo_local: wo in shading frame; light_idx [N]; u_* sample arrays;
     mask: lanes to evaluate.  Returns Ld [N,3].
+
+    handleMedia=true callers (volpath) pass tr_fn(p, p_err, ng, p_light) ->
+    (occluded, Tr) for the shadow ray (VisibilityTester::Tr) and
+    isect_tr_fn(o, d) -> (t, prim, Tr) for the BSDF-MIS ray
+    (Scene::IntersectTr); both skip material-less medium boundaries.
     """
     ss, ts, ns = frame
     n = light_idx.shape[0]
@@ -70,10 +77,14 @@ def estimate_direct(
     f, scattering_pdf = bx.eval_material(mat, wo_local, wi_local, mat_types)
     f = f * absdot(wi_world, ns)[..., None]
     usable = mask & (s["pdf"] > 0.0) & jnp.any(s["li"] > 0.0, -1) & jnp.any(f != 0.0, -1)
-    occ = occluded(
-        scene, rec["p"], rec["p_error"], rec["ng"], s["p_light"], quadric_types
-    )
-    li = jnp.where((usable & ~occ)[..., None], s["li"], 0.0)
+    if tr_fn is None:
+        occ = occluded(
+            scene, rec["p"], rec["p_error"], rec["ng"], s["p_light"], quadric_types
+        )
+        li = jnp.where((usable & ~occ)[..., None], s["li"], 0.0)
+    else:
+        occ, trv = tr_fn(rec["p"], rec["p_error"], rec["ng"], s["p_light"])
+        li = jnp.where((usable & ~occ)[..., None], s["li"] * trv, 0.0)
     weight = jnp.where(
         s["is_delta"],
         1.0,
@@ -105,7 +116,11 @@ def estimate_direct(
     do_bsdf = do_bsdf & ~zero_light_pdf & (bs["pdf"] > 0.0)
 
     # Trace toward the light; only count emission if we hit *this* light.
-    t2, prim2 = tv.intersect_closest(scene, o2, wi2_world, 1e30, quadric_types)
+    if isect_tr_fn is None:
+        t2, prim2 = tv.intersect_closest(scene, o2, wi2_world, 1e30, quadric_types)
+        trv2 = None
+    else:
+        t2, prim2, trv2 = isect_tr_fn(o2, wi2_world)
     hit2 = prim2 >= 0
     pid2 = jnp.clip(prim2, 0, scene.prim_arealight.shape[0] - 1)
     hit_light = jnp.where(hit2, scene.prim_arealight[pid2], -1)
@@ -118,6 +133,8 @@ def estimate_direct(
     li2 = jnp.where(
         hit2[..., None], li2, lt.escaped_radiance(scene, wi2_world, light_types)
     )
+    if trv2 is not None:
+        li2 = li2 * trv2
 
     ld = ld + jnp.where(
         do_bsdf[..., None],
@@ -147,6 +164,8 @@ def sample_one_light(
     light_types,
     quadric_types,
     pick=None,
+    tr_fn=None,
+    isect_tr_fn=None,
 ):
     """UniformSampleOneLight (integrator.cpp:85-106): pick one light from the
     scene distribution (or a precomputed per-lane (light_idx, pmf) from the
@@ -168,6 +187,8 @@ def sample_one_light(
         mat_types,
         light_types,
         quadric_types,
+        tr_fn=tr_fn,
+        isect_tr_fn=isect_tr_fn,
     )
     return ld / jnp.maximum(pmf, 1e-20)[..., None]
 

@@ -87,9 +87,94 @@ def _tr_along(scene, med, o, d, dist, key, statics):
     return tr
 
 
-def _medium_nee(scene, p, wo, g, med, u_select, u_light, u_phase, mask, key, statics):
+def _tr_walk_to(scene, o, dn, dist, cur_med, key, statics, max_seg=4):
+    """VisibilityTester::Tr (core/light.cpp:47-67): walk the shadow segment
+    [o, o + dn*dist], accumulating transmittance through each medium and
+    crossing material-less boundary primitives (up to max_seg crossings);
+    any material-bearing hit occludes.  Returns (occluded [N], tr [N,3]).
+
+    Medium hand-off at a null boundary is interface-based (no normal
+    needed): hitting a prim whose inside-medium equals the current medium
+    means we exit to its outside medium, else we enter its inside."""
+    n = dist.shape[0]
+    tr = jnp.ones((n, 3), jnp.float32)
+    occ = jnp.zeros((n,), bool)
+    active = jnp.ones((n,), bool)
+    rem = dist
+    cur = cur_med
+    oo = o
+    for k in range(max_seg):
+        t, prim = tv.intersect_closest(
+            scene, oo, dn, rem * (1.0 - 1e-4), statics.quadric_types
+        )
+        hit = (prim >= 0) & active
+        pid = jnp.clip(prim, 0, scene.prim_material.shape[0] - 1)
+        has_mat = hit & (scene.prim_material[pid] >= 0)
+        med = _medium_params(scene, cur)
+        seg = jnp.where(hit, t, rem)
+        tr = tr * jnp.where(
+            active[..., None],
+            _tr_along(scene, med, oo, dn, seg, key + jnp.uint32(29 * k + 3), statics),
+            1.0,
+        )
+        occ = occ | has_mat
+        m_in = scene.prim_medium_inside[pid]
+        m_out = scene.prim_medium_outside[pid]
+        new_med = jnp.where(cur == m_in, m_out, m_in)
+        crossing = hit & ~has_mat
+        cur = jnp.where(crossing, new_med, cur)
+        adv = t * (1.0 + 1e-4) + 1e-6
+        oo = jnp.where(crossing[..., None], oo + dn * adv[..., None], oo)
+        rem = jnp.where(crossing, jnp.maximum(rem - adv, 0.0), rem)
+        active = crossing
+    # More crossings than max_seg: conservatively occlude (rare; bounded walk).
+    occ = occ | active
+    return occ, tr
+
+
+def _intersect_tr(scene, o, dn, cur_med, key, statics, max_seg=4):
+    """Scene::IntersectTr (core/scene.cpp:57-71): closest *material* surface
+    along the ray, skipping null-boundary prims, accumulating transmittance.
+    Returns (t [N] from o, prim [N] (-1 = none), tr [N,3])."""
+    n = o.shape[0]
+    tr = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    cur = cur_med
+    oo = o
+    t_base = jnp.zeros((n,), jnp.float32)
+    t_out = jnp.full((n,), jnp.inf, jnp.float32)
+    prim_out = jnp.full((n,), -1, jnp.int32)
+    for k in range(max_seg):
+        t, prim = tv.intersect_closest(scene, oo, dn, 1e30, statics.quadric_types)
+        hit = (prim >= 0) & active
+        pid = jnp.clip(prim, 0, scene.prim_material.shape[0] - 1)
+        has_mat = hit & (scene.prim_material[pid] >= 0)
+        med = _medium_params(scene, cur)
+        seg = jnp.where(hit, t, jnp.float32(1e30))
+        tr = tr * jnp.where(
+            active[..., None],
+            _tr_along(scene, med, oo, dn, seg, key + jnp.uint32(31 * k + 11), statics),
+            1.0,
+        )
+        first_mat = has_mat & (prim_out < 0)
+        prim_out = jnp.where(first_mat, prim, prim_out)
+        t_out = jnp.where(first_mat, t_base + t, t_out)
+        m_in = scene.prim_medium_inside[pid]
+        m_out = scene.prim_medium_outside[pid]
+        new_med = jnp.where(cur == m_in, m_out, m_in)
+        crossing = hit & ~has_mat
+        cur = jnp.where(crossing, new_med, cur)
+        adv = t * (1.0 + 1e-4) + 1e-6
+        oo = jnp.where(crossing[..., None], oo + dn * adv[..., None], oo)
+        t_base = jnp.where(crossing, t_base + adv, t_base)
+        active = crossing
+    return t_out, prim_out, tr
+
+
+def _medium_nee(scene, p, wo, g, med, cur_med, u_select, u_light, u_phase, mask, key, statics):
     """UniformSampleOneLight from a medium vertex (handleMedia=true,
-    integrator.cpp:108-215 medium branch): phase f, Tr-weighted visibility."""
+    integrator.cpp:108-215 medium branch): phase f, Tr-weighted visibility
+    via the boundary-crossing walk (VisibilityTester::Tr)."""
     light_idx, pmf, _ = smp.sample_discrete_1d(scene.light_distr, u_select)
     s = lt.sample_li(scene, light_idx, p, u_light, statics.light_types)
     ph = md.hg_p(dot(wo, s["wi"]), g)
@@ -97,21 +182,22 @@ def _medium_nee(scene, p, wo, g, med, u_select, u_light, u_phase, mask, key, sta
     w = s["p_light"] - p
     dist = jnp.sqrt(jnp.maximum(jnp.sum(w * w, -1), 1e-20))
     dn = w / dist[..., None]
-    occ = tv.intersect_any(
-        scene, p + dn * 1e-3, dn, dist * (1.0 - 1e-3), statics.quadric_types
+    occ, tr = _tr_walk_to(
+        scene, p + dn * 1e-3, dn, dist * (1.0 - 1e-3), cur_med,
+        key + jnp.uint32(13), statics,
     )
-    tr = _tr_along(scene, med, p, dn, dist, key + jnp.uint32(13), statics)
     li = jnp.where((mask & ~occ & (s["pdf"] > 0))[..., None], s["li"] * tr, 0.0)
     weight = jnp.where(
         s["is_delta"], 1.0, smp.power_heuristic(1.0, s["pdf"], 1.0, ph)
     )
     ld = li * (ph * weight / jnp.maximum(s["pdf"], 1e-20))[..., None]
-    # Phase-sampling MIS branch.
+    # Phase-sampling MIS branch: IntersectTr toward the light (skips null
+    # boundaries, scene.cpp:57-71).
     wi2, ph2 = md.hg_sample(wo, u_phase, g)
     light_pdf2 = lt.pdf_li(scene, light_idx, p, wi2, statics.light_types)
     weight2 = smp.power_heuristic(1.0, ph2, 1.0, light_pdf2)
-    t2, prim2 = tv.intersect_closest(
-        scene, p + wi2 * 1e-3, wi2, 1e30, statics.quadric_types
+    t2, prim2, tr2 = _intersect_tr(
+        scene, p + wi2 * 1e-3, wi2, cur_med, key + jnp.uint32(17), statics
     )
     hit2 = prim2 >= 0
     pid2 = jnp.clip(prim2, 0, scene.prim_arealight.shape[0] - 1)
@@ -119,7 +205,6 @@ def _medium_nee(scene, p, wo, g, med, u_select, u_light, u_phase, mask, key, sta
     same = hit2 & (hit_light == light_idx) & ~s["is_delta"]
     rec2 = tv.hit_record(scene, p, wi2, t2, prim2, statics.quadric_types)
     li2 = lt.area_light_emission(scene, hit_light, rec2["ng"], -wi2)
-    tr2 = _tr_along(scene, med, p, wi2, t2, key + jnp.uint32(17), statics)
     ld = ld + jnp.where(
         (mask & same & (light_pdf2 > 0))[..., None],
         li2 * tr2 * weight2[..., None],  # f/pdf = 1 for HG exact sampling
@@ -198,7 +283,7 @@ def li_volpath(
         # Medium branch: phase NEE + HG direction.
         if statics.has_media:
             ld_med = _medium_nee(
-                scene, p_med, rec["wo"], med["g"], med,
+                scene, p_med, rec["wo"], med["g"], med, cur_med,
                 u_select, u_light, u_scatter, in_medium, key_b, statics,
             )
             L = L + jnp.where(in_medium[..., None], beta * ld_med, 0.0)
@@ -223,12 +308,33 @@ def li_volpath(
                 scene.spatial_inv_extent, scene.spatial_cdf,
                 rec["p"], u_select,
             )
+        # handleMedia=true: shadow/BSDF-MIS rays carry transmittance and
+        # cross material-less boundaries (VisibilityTester::Tr,
+        # Scene::IntersectTr).  Compiled in only when media are present.
+        tr_fn = isect_tr_fn = None
+        if statics.has_media:
+            def tr_fn(p_, perr_, ng_, p_light_, _med=cur_med, _k=key_b):
+                w_ = p_light_ - p_
+                o_ = offset_ray_origin(p_, perr_, ng_, w_)
+                dvec = p_light_ - o_
+                dist_ = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-20))
+                dn_ = dvec / dist_[..., None]
+                return _tr_walk_to(
+                    scene, o_, dn_, dist_ * (1.0 - 1e-4), _med,
+                    _k + jnp.uint32(41), statics,
+                )
+
+            def isect_tr_fn(o_, d_, _med=cur_med, _k=key_b):
+                return _intersect_tr(
+                    scene, o_, d_, _med, _k + jnp.uint32(43), statics
+                )
+
         ld_surf = common.sample_one_light(
             scene, rec, frame, mat, wo_local, u_select, u_light, u_scatter,
             has_bsdf, statics.mat_types, statics.light_types,
             statics.quadric_types, pick=pick,
+            tr_fn=tr_fn, isect_tr_fn=isect_tr_fn,
         )
-        # Shadow Tr through the current medium (volpath handleMedia).
         L = L + jnp.where(has_bsdf[..., None], beta * ld_surf, 0.0)
 
         bs = bx.sample_material(mat, wo_local, u_dir, statics.mat_types)

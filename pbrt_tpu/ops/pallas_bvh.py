@@ -114,20 +114,23 @@ def _tri_hit(ox, oy, oz, dx, dy, dz, t_best, v):
     return hit, t
 
 
-def _make_kernel(n_nodes: int, n_leaves: int, n_packets: int):
+def _make_kernel(n_nodes: int, n_leaves: int):
     def kernel(
-        nodes_ref,  # VMEM [M, NODE_W] — single copy (no grid pipelining)
+        nodes_ref,  # VMEM [Mp, NODE_W, 128] — whole table, constant per grid step
         leaves_ref,  # HBM [NL, LEAF_ROW_W] — DMA'd per leaf visit
-        o_ref,  # VMEM [P, 3, 8, 128]
-        d_ref,  # VMEM [P, 3, 8, 128]
-        tmax_ref,  # VMEM [P, 8, 128]
-        t_out,  # VMEM [P, 8, 128]
-        prim_out,  # VMEM [P, 8, 128] i32
+        o_ref,  # VMEM block [1, 3, 8, 128] — this grid step's packet
+        d_ref,  # VMEM block [1, 3, 8, 128]
+        tmax_ref,  # VMEM block [1, 8, 128]
+        t_out,  # VMEM block [1, 8, 128]
+        prim_out,  # VMEM block [1, 8, 128] i32
         stack_ref,  # SMEM [STACK_DEPTH] i32 scratch
         leaf_buf,  # VMEM [1, LEAF_ROW_W] scratch (DMA target)
         leaf_sem,  # DMA semaphore
     ):
-      def packet(p, _):
+        # One packet per grid step: Pallas streams ray/output blocks
+        # HBM<->VMEM double-buffered, so batch size is not VMEM-limited
+        # (the old whole-batch-resident layout faulted the chip >~100k rays).
+        p = 0
         ox = o_ref[p, 0]
         oy = o_ref[p, 1]
         oz = o_ref[p, 2]
@@ -239,9 +242,6 @@ def _make_kernel(n_nodes: int, n_leaves: int, n_packets: int):
         )
         t_out[p] = t_fin
         prim_out[p] = prim_fin
-        return 0
-
-      jax.lax.fori_loop(0, n_packets, packet, 0)
 
     return kernel
 
@@ -258,19 +258,25 @@ def _run_packets(nodes, leaves, o, d, t_max, n_nodes, n_leaves):
     )
     t_b = t_max.reshape(n_packets, SUBLANES, LANES)
 
-    kernel = _make_kernel(n_nodes, n_leaves, n_packets)
+    kernel = _make_kernel(n_nodes, n_leaves)
+    np_pages = nodes.shape[0]
     t_out, prim_out = pl.pallas_call(
         kernel,
+        grid=(n_packets,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # Whole node table, same block every step (loaded once).
+            pl.BlockSpec(
+                (np_pages, NODE_W, 128), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # leaves in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_packets, SUBLANES, LANES), jnp.float32),
@@ -390,15 +396,23 @@ def intersect_kernel_with_quadrics(scene, o, d, t_max, quadric_types=(),
             sc.SHAPE_CYLINDER: quad.intersect_cylinder_object,
             sc.SHAPE_DISK: quad.intersect_disk_object,
         }
+        fns_par = {
+            sc.SHAPE_CONE: quad.intersect_cone_object,
+            sc.SHAPE_PARABOLOID: quad.intersect_paraboloid_object,
+            sc.SHAPE_HYPERBOLOID: quad.intersect_hyperboloid_object,
+        }
         for qi in range(n_q):
             row = q_packed[qi]
             w2o = row[:12].reshape(3, 4)
-            par = row[12:16]
+            par = row[12:24]
             oo = o @ w2o[:3, :3].T + w2o[:3, 3]
             od = d @ w2o[:3, :3].T
             valid_q = q_prim[qi] >= 0  # row actually referenced by a prim
             for qt in quadric_types:
-                s = fns[qt](oo, od, t, par[0], par[1], par[2], par[3])
+                if qt in fns_par:
+                    s = fns_par[qt](oo, od, t, par)
+                else:
+                    s = fns[qt](oo, od, t, par[0], par[1], par[2], par[3])
                 take = (q_type[qi] == qt) & valid_q & s["hit"] & (s["t"] < t)
                 t = jnp.where(take, s["t"], t)
                 prim = jnp.where(take, q_prim[qi], prim)

@@ -31,6 +31,9 @@ SHAPE_TRIANGLE = 0
 SHAPE_SPHERE = 1
 SHAPE_CYLINDER = 2
 SHAPE_DISK = 3
+SHAPE_CONE = 4
+SHAPE_PARABOLOID = 5
+SHAPE_HYPERBOLOID = 6
 
 # Light type ids (core/light.h:49 LightFlags taxonomy collapses into these)
 LIGHT_POINT = 0
@@ -168,14 +171,18 @@ class SceneArrays:
     q_type: jnp.ndarray  # [Q]
     q_w2o: jnp.ndarray  # [Q,4,4]
     q_o2w: jnp.ndarray  # [Q,4,4]
-    q_params: jnp.ndarray  # [Q,4] sphere/cyl: r, zmin, zmax, phimax; disk: r, inner_r, height, phimax
+    q_params: jnp.ndarray  # [Q,12] sphere/cyl: r, zmin, zmax, phimax; disk:
+    #   r, inner_r, height, phimax; cone: r, height, phimax; paraboloid:
+    #   r, zmin, zmax, phimax; hyperboloid: ah, ch, zmin, zmax, phimax,
+    #   p1(3), p2(3) (ah/ch pre-solved host-side with pbrt's nudge)
     q_rev: jnp.ndarray  # [Q] bool: reverseorientation XOR swapshandedness
     # ---- packed hot-path mirrors (fewer gathers per traversal step) ----
     bvh_bounds: jnp.ndarray = None  # [M,6] (min3 | max3) f32
     bvh_meta: jnp.ndarray = None  # [M,3] i32 (offset, nprims, axis)
-    prim_meta: jnp.ndarray = None  # [P,2] i32 (shape_type, shape_idx)
+    prim_meta: jnp.ndarray = None  # [P,4] i32 (shape_type, shape_idx, material, arealight)
+    tri_attr: jnp.ndarray = None  # [T,26] f32 v(9)|uv(6)|n(9)|has_n|pad
     tri_verts: jnp.ndarray = None  # [T,9] f32 pre-dereferenced p0|p1|p2
-    q_packed: jnp.ndarray = None  # [Q,16] f32 w2o rows (12) | params (4)
+    q_packed: jnp.ndarray = None  # [Q,24] f32 w2o rows (12) | params (12)
     nodes_packed: jnp.ndarray = None  # [M,9] f32: bounds(6), child/leaf, nprims, axis
     leaf_packed: jnp.ndarray = None  # [NL,80] f32: 4 prim slots x 20
     # Pallas packet-kernel tables (ops/pallas_bvh.py layout)
@@ -392,6 +399,21 @@ class SceneBuilder:
         elif q_type == SHAPE_CYLINDER:
             omin = np.array([-r, -r, float(params[1])])
             omax = np.array([r, r, float(params[2])])
+        elif q_type == SHAPE_CONE:
+            h = float(params[1])
+            omin = np.array([-r, -r, 0.0])
+            omax = np.array([r, r, h])
+        elif q_type == SHAPE_PARABOLOID:
+            omin = np.array([-r, -r, float(params[1])])
+            omax = np.array([r, r, float(params[2])])
+        elif q_type == SHAPE_HYPERBOLOID:
+            # params: ah, ch, zmin, zmax, phimax, p1, p2 — r = max radius.
+            r = max(
+                float(np.hypot(params[5], params[6])),
+                float(np.hypot(params[8], params[9])),
+            )
+            omin = np.array([-r, -r, float(params[2])])
+            omax = np.array([r, r, float(params[3])])
         else:  # disk
             h = float(params[2])
             omin = np.array([-r, -r, h - 1e-4])
@@ -424,6 +446,65 @@ class SceneBuilder:
             (radius, zmin, zmax, phimax),
             material,
             arealight,
+            kw.get("reverse_orientation", False),
+            medium_inside=kw.get("medium_inside", -1),
+            medium_outside=kw.get("medium_outside", -1),
+        )
+
+    def add_cone(self, object_to_world, radius, height, material=-1, **kw):
+        """shapes/cone.cpp CreateConeShape."""
+        phimax = np.deg2rad(kw.get("phimax_deg", 360.0))
+        return self.add_quadric(
+            SHAPE_CONE, object_to_world, (radius, height, phimax),
+            material, kw.get("arealight", -1),
+            kw.get("reverse_orientation", False),
+            medium_inside=kw.get("medium_inside", -1),
+            medium_outside=kw.get("medium_outside", -1),
+        )
+
+    def add_paraboloid(self, object_to_world, radius, zmin, zmax,
+                       material=-1, **kw):
+        """shapes/paraboloid.cpp CreateParaboloidShape."""
+        phimax = np.deg2rad(kw.get("phimax_deg", 360.0))
+        return self.add_quadric(
+            SHAPE_PARABOLOID, object_to_world, (radius, zmin, zmax, phimax),
+            material, kw.get("arealight", -1),
+            kw.get("reverse_orientation", False),
+            medium_inside=kw.get("medium_inside", -1),
+            medium_outside=kw.get("medium_outside", -1),
+        )
+
+    def add_hyperboloid(self, object_to_world, p1, p2, material=-1, **kw):
+        """shapes/hyperboloid.cpp: solve ah(x^2+y^2) - ch z^2 = 1 through
+        p1/p2, marching p1 along the segment while the solve is degenerate
+        (the constructor's do/while nudge)."""
+        phimax = np.deg2rad(kw.get("phimax_deg", 360.0))
+        p1 = np.asarray(p1, np.float64)
+        p2 = np.asarray(p2, np.float64)
+        if p2[2] == 0.0:
+            p1, p2 = p2, p1
+        pp = p1.copy()
+        ah = ch = np.inf
+        for _ in range(64):
+            r1s = pp[0] ** 2 + pp[1] ** 2
+            r2s = p2[0] ** 2 + p2[1] ** 2
+            z1s, z2s = pp[2] ** 2, p2[2] ** 2
+            det = z1s * r2s - r1s * z2s
+            if abs(det) > 1e-12:
+                ah = (z1s - z2s) / det
+                ch = (r1s - r2s) / det
+                if np.isfinite(ah) and np.isfinite(ch):
+                    break
+            pp = pp + 2.0 * (p2 - p1)
+        if not (np.isfinite(ah) and np.isfinite(ch)):
+            raise ValueError("degenerate hyperboloid points")
+        zmin = float(min(p1[2], p2[2]))
+        zmax = float(max(p1[2], p2[2]))
+        params = (ah, ch, zmin, zmax, phimax,
+                  p1[0], p1[1], p1[2], p2[0], p2[1], p2[2])
+        return self.add_quadric(
+            SHAPE_HYPERBOLOID, object_to_world, params,
+            material, kw.get("arealight", -1),
             kw.get("reverse_orientation", False),
             medium_inside=kw.get("medium_inside", -1),
             medium_outside=kw.get("medium_outside", -1),
@@ -618,19 +699,42 @@ class SceneBuilder:
             q_type = np.array([q[0] for q in self.quadrics], np.int32)
             q_o2w = np.stack([q[1].m for q in self.quadrics]).astype(np.float32)
             q_w2o = np.stack([q[1].m_inv for q in self.quadrics]).astype(np.float32)
-            q_params = np.stack([q[2] for q in self.quadrics]).astype(np.float32)
+            q_params = np.stack([
+                np.pad(np.asarray(q[2], np.float32), (0, 12 - len(q[2])))
+                for q in self.quadrics
+            ]).astype(np.float32)
             q_rev = np.array([q[3] for q in self.quadrics], bool)
         else:
             q_type = np.zeros(1, np.int32)
             q_o2w = np.eye(4, dtype=np.float32)[None]
             q_w2o = np.eye(4, dtype=np.float32)[None]
-            q_params = np.ones((1, 4), np.float32)
+            q_params = np.ones((1, 12), np.float32)
             q_rev = np.zeros(1, bool)
 
         materials, bssrdf_extra = self._build_materials()
         lights, light_distr = self._build_lights(bmin, bmax)
 
         tri_verts = tri_p[tri_indices].reshape(-1, 9).astype(np.float32)
+        # One-gather hit-record attribute rows (hit_record reads ONE [T,26]
+        # row instead of ~11 per-vertex gathers — the stage was costing more
+        # than traversal itself on the TPU backend):
+        #   [0:9]=v0|v1|v2  [9:15]=uv0|uv1|uv2 (defaulted like GetUVs,
+        #   triangle.cpp:403-410)  [15:24]=n0|n1|n2  [24]=has_n  [25]=pad.
+        _uvs = tri_uv[tri_indices].reshape(-1, 6).astype(np.float32)
+        _no_uv = ~tri_has_uv
+        if _uvs.shape[0] == tri_has_uv.shape[0]:
+            _uvs[_no_uv] = np.array([0, 0, 1, 0, 1, 1], np.float32)
+        _ns = tri_n[tri_indices].reshape(-1, 9).astype(np.float32)
+        tri_attr = np.concatenate(
+            [
+                tri_verts,
+                _uvs,
+                _ns,
+                tri_has_n.astype(np.float32)[:, None],
+                np.zeros((tri_verts.shape[0], 1), np.float32),
+            ],
+            -1,
+        ).astype(np.float32)
         jnp = _HostNp()  # build host-side: no eager device uploads
 
         # ---- leaf-packed traversal mirrors (one gather per step) ----
@@ -660,7 +764,7 @@ class SceneBuilder:
             ]
             q_m = ~tri_m
             leaf_packed[rows[q_m], base + 2 : base + 18] = q_packed_np[
-                sidx[q_m]
+                sidx[q_m], :16
             ]
         # Kernel tables: triangle-only leaf slots (node rows filled below).
         kernel_leaves = np.zeros((n_leaves, 4, 16), np.float32)
@@ -723,7 +827,9 @@ class SceneBuilder:
             bvh_meta=jnp.asarray(
                 np.stack([bvh.offset, bvh.n_prims, bvh.axis], -1)
             ),
-            prim_meta=jnp.asarray(np.stack([prim_type, prim_idx], -1)),
+            prim_meta=jnp.asarray(np.stack(
+                [prim_type, prim_idx, prim_material, prim_arealight], -1)),
+            tri_attr=jnp.asarray(tri_attr),
             tri_verts=jnp.asarray(tri_verts),
             q_packed=jnp.asarray(q_packed_np),
             nodes_packed=jnp.asarray(nodes_packed),

@@ -781,6 +781,40 @@ class PbrtApi:
                 sc.SHAPE_CYLINDER, o2w, (r, zmin, zmax, phimax), mat,
                 -1, gs.reverse_orientation,
             )
+        elif name == "cone":
+            # cone.cpp CreateConeShape.
+            r = ps.find_one_float("radius", 1.0)
+            h = ps.find_one_float("height", 1.0)
+            b.add_cone(
+                o2w, r, h, material=mat,
+                phimax_deg=ps.find_one_float("phimax", 360.0),
+                reverse_orientation=gs.reverse_orientation,
+                medium_inside=gs.medium_inside,
+                medium_outside=gs.medium_outside,
+            )
+        elif name == "paraboloid":
+            # paraboloid.cpp CreateParaboloidShape.
+            r = ps.find_one_float("radius", 1.0)
+            zmin = ps.find_one_float("zmin", 0.0)
+            zmax = ps.find_one_float("zmax", 1.0)
+            b.add_paraboloid(
+                o2w, r, zmin, zmax, material=mat,
+                phimax_deg=ps.find_one_float("phimax", 360.0),
+                reverse_orientation=gs.reverse_orientation,
+                medium_inside=gs.medium_inside,
+                medium_outside=gs.medium_outside,
+            )
+        elif name == "hyperboloid":
+            # hyperboloid.cpp CreateHyperboloidShape.
+            p1 = ps.find_one_point("p1", (0.0, 0.0, 0.0))
+            p2 = ps.find_one_point("p2", (1.0, 1.0, 1.0))
+            b.add_hyperboloid(
+                o2w, p1, p2, material=mat,
+                phimax_deg=ps.find_one_float("phimax", 360.0),
+                reverse_orientation=gs.reverse_orientation,
+                medium_inside=gs.medium_inside,
+                medium_outside=gs.medium_outside,
+            )
         elif name == "loopsubdiv":
             from ..shapes.loopsubdiv import loop_subdivide
 

@@ -283,3 +283,265 @@ def intersect_cylinder(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
         "uv": jnp.stack([u, v], axis=-1),
         "p_error": p_err_world,
     }
+
+
+# ---------------------------------------------------------------------------
+# Cone / paraboloid / hyperboloid (src/shapes/{cone,paraboloid,hyperboloid}.cpp)
+#
+# Params ride in the widened q_params[..., :8] slots:
+#   cone:        [radius, height, phi_max, 0, ...]
+#   paraboloid:  [radius, z_min, z_max, phi_max, ...]
+#   hyperboloid: [ah, ch, z_min, z_max, phi_max, x1, y1, z1, x2, y2, z2]
+#                (ah/ch pre-solved host-side with CreateHyperboloid's
+#                degenerate-points nudge; p1/p2 drive uv)
+# ---------------------------------------------------------------------------
+
+
+def _world_attrs(o2w, w2o, p_hit, ng_obj, err_scale):
+    """Object-space hit -> world point/normal/error (shared tail)."""
+    p_world = xform_point(o2w, p_hit)
+    ng_world = normalize(jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj))
+    p_err_obj = err_scale * jnp.abs(p_hit)
+    abs_m = jnp.abs(o2w[..., :3, :3])
+    p_err_world = jnp.einsum("...ij,...j->...i", abs_m, p_err_obj) + gamma(3) * (
+        jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p_hit))
+        + jnp.abs(o2w[..., :3, 3])
+    )
+    return p_world, ng_world, p_err_world
+
+
+def _cone_roots(oo, od, radius, height):
+    k = (radius / height) ** 2
+    ozh = oo[..., 2] - height
+    a = od[..., 0] ** 2 + od[..., 1] ** 2 - k * od[..., 2] ** 2
+    b = 2.0 * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1]
+               - k * od[..., 2] * ozh)
+    c = oo[..., 0] ** 2 + oo[..., 1] ** 2 - k * ozh * ozh
+    return _quadratic(a, b, c)
+
+
+def intersect_cone_object(oo, od, t_max, par):
+    """Cone t-only test (cone.cpp:47-137), ray in object space."""
+    radius, height, phi_max = par[..., 0], par[..., 1], par[..., 2]
+    ok, t0, t1 = _cone_roots(oo, od, radius, height)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        return (p[..., 2] >= 0.0) & (p[..., 2] <= height) & (phi <= phi_max)
+
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & clip(t0)
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & clip(t1)
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    return {"hit": hit, "t": jnp.where(hit, t, jnp.inf)}
+
+
+def intersect_cone(o, d, t_max, w2o, o2w, par):
+    """Cone::Intersect with attributes (cone.cpp:47-161)."""
+    radius, height, phi_max = par[..., 0], par[..., 1], par[..., 2]
+    oo = xform_point(w2o, o)
+    od = xform_vector(w2o, d)
+    ok, t0, t1 = _cone_roots(oo, od, radius, height)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        okc = (p[..., 2] >= 0.0) & (p[..., 2] <= height) & (phi <= phi_max)
+        return p, phi, okc
+
+    p0, phi0, ok0 = clip(t0)
+    p1, phi1, ok1 = clip(t1)
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & ok0
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & ok1
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    p_hit = jnp.where(valid0[..., None], p0, p1)
+    phi = jnp.where(valid0, phi0, phi1)
+    u = phi / phi_max
+    v = p_hit[..., 2] / height
+    # dpdu/dpdv (cone.cpp:139-143); ng = dpdu x dpdv.
+    one_m_v = jnp.maximum(1.0 - v, 1e-6)
+    dpdu = jnp.stack(
+        [-phi_max * p_hit[..., 1], phi_max * p_hit[..., 0],
+         jnp.zeros_like(phi)], -1)
+    dpdv = jnp.stack(
+        [-p_hit[..., 0] / one_m_v, -p_hit[..., 1] / one_m_v,
+         jnp.broadcast_to(height, phi.shape)], -1)
+    ng_obj = normalize(cross(dpdu, dpdv))
+    p_world, ng_world, p_err_world = _world_attrs(
+        o2w, w2o, p_hit, ng_obj, gamma(7))
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, jnp.inf),
+        "p_hit": p_world,
+        "ng": ng_world,
+        "uv": jnp.stack([u, v], axis=-1),
+        "p_error": p_err_world,
+    }
+
+
+def _paraboloid_roots(oo, od, radius, z_max):
+    k = z_max / jnp.maximum(radius * radius, 1e-20)
+    a = k * (od[..., 0] ** 2 + od[..., 1] ** 2)
+    b = 2.0 * k * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1]) - od[..., 2]
+    c = k * (oo[..., 0] ** 2 + oo[..., 1] ** 2) - oo[..., 2]
+    return _quadratic(a, b, c)
+
+
+def intersect_paraboloid_object(oo, od, t_max, par):
+    """Paraboloid t-only test (paraboloid.cpp:48-135)."""
+    radius, z_min, z_max, phi_max = (par[..., 0], par[..., 1],
+                                     par[..., 2], par[..., 3])
+    ok, t0, t1 = _paraboloid_roots(oo, od, radius, z_max)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        return (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
+
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & clip(t0)
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & clip(t1)
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    return {"hit": hit, "t": jnp.where(hit, t, jnp.inf)}
+
+
+def intersect_paraboloid(o, d, t_max, w2o, o2w, par):
+    """Paraboloid::Intersect with attributes (paraboloid.cpp:48-158)."""
+    radius, z_min, z_max, phi_max = (par[..., 0], par[..., 1],
+                                     par[..., 2], par[..., 3])
+    oo = xform_point(w2o, o)
+    od = xform_vector(w2o, d)
+    ok, t0, t1 = _paraboloid_roots(oo, od, radius, z_max)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        okc = (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
+        return p, phi, okc
+
+    p0, phi0, ok0 = clip(t0)
+    p1, phi1, ok1 = clip(t1)
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & ok0
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & ok1
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    p_hit = jnp.where(valid0[..., None], p0, p1)
+    phi = jnp.where(valid0, phi0, phi1)
+    u = phi / phi_max
+    v = (p_hit[..., 2] - z_min) / jnp.maximum(z_max - z_min, 1e-20)
+    z_safe = jnp.where(jnp.abs(p_hit[..., 2]) < 1e-8, 1e-8, p_hit[..., 2])
+    dpdu = jnp.stack(
+        [-phi_max * p_hit[..., 1], phi_max * p_hit[..., 0],
+         jnp.zeros_like(phi)], -1)
+    dpdv = jnp.stack(
+        [p_hit[..., 0] / (2.0 * z_safe), p_hit[..., 1] / (2.0 * z_safe),
+         jnp.ones_like(phi)], -1) * jnp.asarray(z_max - z_min)[..., None]
+    ng_obj = normalize(cross(dpdu, dpdv))
+    p_world, ng_world, p_err_world = _world_attrs(
+        o2w, w2o, p_hit, ng_obj, gamma(9))
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, jnp.inf),
+        "p_hit": p_world,
+        "ng": ng_world,
+        "uv": jnp.stack([u, v], axis=-1),
+        "p_error": p_err_world,
+    }
+
+
+def _hyperboloid_coeffs(par):
+    """(ah, ch) of ah(x^2+y^2) - ch z^2 = 1 (pre-solved host-side)."""
+    return par[..., 0], par[..., 1]
+
+
+def _hyperboloid_roots(oo, od, ah, ch):
+    a = (ah * (od[..., 0] ** 2 + od[..., 1] ** 2) - ch * od[..., 2] ** 2)
+    b = 2.0 * (ah * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1])
+               - ch * od[..., 2] * oo[..., 2])
+    c = (ah * (oo[..., 0] ** 2 + oo[..., 1] ** 2)
+         - ch * oo[..., 2] ** 2 - 1.0)
+    return _quadratic(a, b, c)
+
+
+def _hyperboloid_phi(p_hit, par):
+    """pbrt's phi: angle of pHit relative to the profile point at its v
+    (hyperboloid.cpp:122-130)."""
+    z1, z2 = par[..., 7], par[..., 10]
+    v = (p_hit[..., 2] - z1) / jnp.where(jnp.abs(z2 - z1) < 1e-12, 1e-12, z2 - z1)
+    xr = (1.0 - v) * par[..., 5] + v * par[..., 8]
+    yr = (1.0 - v) * par[..., 6] + v * par[..., 9]
+    phi = jnp.arctan2(
+        p_hit[..., 1] * xr - p_hit[..., 0] * yr,
+        p_hit[..., 0] * xr + p_hit[..., 1] * yr,
+    )
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    return phi, v
+
+
+def intersect_hyperboloid_object(oo, od, t_max, par):
+    """Hyperboloid t-only test (hyperboloid.cpp:48-140)."""
+    phi_max = par[..., 4]
+    ah, ch = _hyperboloid_coeffs(par)
+    z_min = par[..., 2]
+    z_max = par[..., 3]
+    ok, t0, t1 = _hyperboloid_roots(oo, od, ah, ch)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi, _ = _hyperboloid_phi(p, par)
+        return (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
+
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & clip(t0)
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & clip(t1)
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    return {"hit": hit, "t": jnp.where(hit, t, jnp.inf)}
+
+
+def intersect_hyperboloid(o, d, t_max, w2o, o2w, par):
+    """Hyperboloid::Intersect with attributes (hyperboloid.cpp:48-167)."""
+    phi_max = par[..., 4]
+    ah, ch = _hyperboloid_coeffs(par)
+    z_min = par[..., 2]
+    z_max = par[..., 3]
+    oo = xform_point(w2o, o)
+    od = xform_vector(w2o, d)
+    ok, t0, t1 = _hyperboloid_roots(oo, od, ah, ch)
+
+    def clip(t):
+        p = oo + t[..., None] * od
+        phi, v = _hyperboloid_phi(p, par)
+        okc = (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
+        return p, phi, v, okc
+
+    p0, phi0, v0, ok0 = clip(t0)
+    p1, phi1, v1, ok1 = clip(t1)
+    valid0 = ok & (t0 > 0.0) & (t0 < t_max) & ok0
+    valid1 = ok & (t1 > 0.0) & (t1 < t_max) & ok1
+    hit = valid0 | valid1
+    t = jnp.where(valid0, t0, t1)
+    p_hit = jnp.where(valid0[..., None], p0, p1)
+    phi = jnp.where(valid0, phi0, phi1)
+    v = jnp.where(valid0, v0, v1)
+    u = phi / phi_max
+    # Normal from the implicit gradient (equivalent to dpdu x dpdv up to
+    # orientation, hyperboloid.cpp:142-151).
+    ng_obj = normalize(jnp.stack(
+        [ah * p_hit[..., 0], ah * p_hit[..., 1], -ch * p_hit[..., 2]], -1))
+    # Orient along pbrt's cross(dpdu,dpdv): outward for ah>0 surfaces.
+    p_world, ng_world, p_err_world = _world_attrs(
+        o2w, w2o, p_hit, ng_obj, gamma(9))
+    return {
+        "hit": hit,
+        "t": jnp.where(hit, t, jnp.inf),
+        "p_hit": p_world,
+        "ng": ng_world,
+        "uv": jnp.stack([u, v], axis=-1),
+        "p_error": p_err_world,
+    }
