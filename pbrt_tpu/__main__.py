@@ -1,7 +1,8 @@
 """CLI entry: `python -m pbrt_tpu scene.pbrt [options]`.
 
 Mirrors the reference CLI (main/pbrt.cpp:76-173): scene file(s), --outfile,
---quick (reduce spp), --cropwindow, --quiet.
+--quick (reduce spp), --cropwindow, --quiet, --cat/--toply (scene
+reformatters), --nthreads (accepted; vector lanes are the thread pool).
 """
 from __future__ import annotations
 
@@ -18,7 +19,22 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--res", type=int, nargs=2, default=None)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--cropwindow", type=float, nargs=4, default=None,
+                    metavar=("X0", "X1", "Y0", "Y1"))
+    ap.add_argument("--cat", action="store_true",
+                    help="reformat the scene to stdout and exit")
+    ap.add_argument("--toply", action="store_true",
+                    help="like --cat, but dump inline meshes to .ply files")
+    ap.add_argument("--nthreads", type=int, default=0,
+                    help="accepted for pbrt compatibility (ignored)")
     args = ap.parse_args(argv)
+
+    if args.cat or args.toply:
+        from .sceneio.cat import cat_file
+
+        for scene_path in args.scenes:
+            cat_file(scene_path, to_ply=args.toply)
+        return 0
 
     logging.basicConfig(
         level=logging.WARNING if args.quiet else logging.INFO,
@@ -33,7 +49,8 @@ def main(argv=None):
             setup = parse_pbrt_file(scene_path)
             spp = max(1, setup.make_sampler_config().spp // 4)
         img, stats = render_file(
-            scene_path, out=args.outfile, spp=spp, res=args.res
+            scene_path, out=args.outfile, spp=spp, res=args.res,
+            crop=tuple(args.cropwindow) if args.cropwindow else None,
         )
         mrays = stats["camera_rays"] / stats["wall_s"] / 1e6
         print(

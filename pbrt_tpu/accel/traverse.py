@@ -173,7 +173,7 @@ def _traverse_packed(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit:
         leaf = scene.leaf_packed[lrow]  # ONE gather
         t_best = s["t_best"]
         prim_best = s["prim_best"]
-        for k in range(4):
+        for k in range(7):
             slot = leaf[..., 20 * k : 20 * (k + 1)]
             h, t, pid = _test_slot(slot, o, d, t_best, quadric_types)
             take = enter_leaf & h & (t < t_best)

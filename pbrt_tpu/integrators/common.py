@@ -54,6 +54,7 @@ def estimate_direct(
     quadric_types,
     tr_fn=None,
     isect_tr_fn=None,
+    extra_ray=None,
 ):
     """EstimateDirect (integrator.cpp:108-215), specular=false.
 
@@ -65,6 +66,10 @@ def estimate_direct(
     (occluded, Tr) for the shadow ray (VisibilityTester::Tr) and
     isect_tr_fn(o, d) -> (t, prim, Tr) for the BSDF-MIS ray
     (Scene::IntersectTr); both skip material-less medium boundaries.
+
+    extra_ray=(o3, d3): a third independent ray set (the path integrator's
+    next-bounce extension rays) folded into the same kernel launch; returns
+    (ld, (t3, prim3)) instead of ld.  One launch per bounce instead of three.
     """
     ss, ts, ns = frame
     n = light_idx.shape[0]
@@ -77,23 +82,10 @@ def estimate_direct(
     f, scattering_pdf = bx.eval_material(mat, wo_local, wi_local, mat_types)
     f = f * absdot(wi_world, ns)[..., None]
     usable = mask & (s["pdf"] > 0.0) & jnp.any(s["li"] > 0.0, -1) & jnp.any(f != 0.0, -1)
-    if tr_fn is None:
-        occ = occluded(
-            scene, rec["p"], rec["p_error"], rec["ng"], s["p_light"], quadric_types
-        )
-        li = jnp.where((usable & ~occ)[..., None], s["li"], 0.0)
-    else:
-        occ, trv = tr_fn(rec["p"], rec["p_error"], rec["ng"], s["p_light"])
-        li = jnp.where((usable & ~occ)[..., None], s["li"] * trv, 0.0)
     weight = jnp.where(
         s["is_delta"],
         1.0,
         smp.power_heuristic(1.0, s["pdf"], 1.0, scattering_pdf),
-    )
-    ld = ld + jnp.where(
-        usable[..., None],
-        f * li * (weight / jnp.maximum(s["pdf"], 1e-20))[..., None],
-        0.0,
     )
 
     # ---- BSDF-sampling strategy (non-delta lights only) ----
@@ -115,12 +107,54 @@ def estimate_direct(
     zero_light_pdf = (~bs["is_specular"]) & (light_pdf2 == 0.0)
     do_bsdf = do_bsdf & ~zero_light_pdf & (bs["pdf"] > 0.0)
 
-    # Trace toward the light; only count emission if we hit *this* light.
-    if isect_tr_fn is None:
-        t2, prim2 = tv.intersect_closest(scene, o2, wi2_world, 1e30, quadric_types)
-        trv2 = None
+    # ---- one traversal for BOTH strategies ----
+    # The shadow ray (VisibilityTester::Unoccluded) and the BSDF-MIS ray are
+    # independent, and intersect_any runs the same closest-hit kernel anyway,
+    # so both ray sets ride ONE 2N-ray kernel launch (a bounce previously
+    # cost three launches; launch overhead was a third of the step).
+    extra_hit = None
+    if tr_fn is None and isect_tr_fn is None:
+        w_sh = s["p_light"] - rec["p"]
+        o_sh = offset_ray_origin(rec["p"], rec["p_error"], rec["ng"], w_sh)
+        d_sh = s["p_light"] - o_sh
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(d_sh * d_sh, -1), 1e-20))
+        dn_sh = d_sh / dist[..., None]
+        o_cat = [o_sh, o2]
+        d_cat = [dn_sh, wi2_world]
+        tm_cat = [dist * _SHADOW_EPS, jnp.full((n,), 1e30, jnp.float32)]
+        if extra_ray is not None:
+            o3, d3 = extra_ray
+            o_cat.append(o3)
+            d_cat.append(d3)
+            tm_cat.append(jnp.full((n,), 1e30, jnp.float32))
+        t_cat, prim_cat = tv.intersect_closest(
+            scene,
+            jnp.concatenate(o_cat),
+            jnp.concatenate(d_cat),
+            jnp.concatenate(tm_cat),
+            quadric_types,
+        )
+        occ = prim_cat[:n] >= 0
+        t2, prim2 = t_cat[n : 2 * n], prim_cat[n : 2 * n]
+        if extra_ray is not None:
+            extra_hit = (t_cat[2 * n :], prim_cat[2 * n :])
+        trv = trv2 = None
     else:
+        occ, trv = tr_fn(rec["p"], rec["p_error"], rec["ng"], s["p_light"])
         t2, prim2, trv2 = isect_tr_fn(o2, wi2_world)
+        if extra_ray is not None:
+            o3, d3 = extra_ray
+            extra_hit = tv.intersect_closest(scene, o3, d3, 1e30, quadric_types)
+
+    li = jnp.where((usable & ~occ)[..., None], s["li"], 0.0)
+    if trv is not None:
+        li = li * trv
+    ld = ld + jnp.where(
+        usable[..., None],
+        f * li * (weight / jnp.maximum(s["pdf"], 1e-20))[..., None],
+        0.0,
+    )
+
     hit2 = prim2 >= 0
     pid2 = jnp.clip(prim2, 0, scene.prim_arealight.shape[0] - 1)
     hit_light = jnp.where(hit2, scene.prim_arealight[pid2], -1)
@@ -141,13 +175,78 @@ def estimate_direct(
         f2 * li2 * (weight2 / jnp.maximum(bs["pdf"], 1e-20))[..., None],
         0.0,
     )
+    if extra_ray is not None:
+        return ld, extra_hit
     return ld
 
 
 def _cheap_hit_normal(scene, o, d, t, prim_id, quadric_types):
-    """Geometric normal of a hit without the full hit_record (for Le)."""
-    rec = tv.hit_record(scene, o, d, t, prim_id, quadric_types)
-    return rec["ng"]
+    """Geometric normal of a hit WITHOUT the full hit_record — Le orientation
+    (area_light_emission's two-sided test) only needs ng, so skip the
+    re-intersection / uv / error-bound work: triangles = one [T,26] row
+    gather + cross product; quadrics = implicit-gradient normals."""
+    hit = prim_id >= 0
+    pid = jnp.clip(prim_id, 0, scene.prim_meta.shape[0] - 1)
+    meta = scene.prim_meta[pid]
+    ptype = meta[..., 0]
+    pidx = meta[..., 1]
+    attr = scene.tri_attr[jnp.clip(pidx, 0, scene.tri_attr.shape[0] - 1)]
+    e1 = attr[..., 3:6] - attr[..., 0:3]
+    e2 = attr[..., 6:9] - attr[..., 0:3]
+    from ..core.vecmath import cross, normalize
+
+    ng = normalize(cross(e1, e2))
+    # Orient to agree with shading normals where present (triangle.cpp:389;
+    # n0 proxies the interpolated ns — identical sign for smooth meshes).
+    has_n = attr[..., 24] > 0.0
+    flip = has_n & (jnp.sum(ng * attr[..., 15:18], -1) < 0.0)
+    ng = jnp.where(flip[..., None], -ng, ng)
+    if quadric_types:
+        from ..shapes import quadrics as quad
+        from .. import scene as sc
+
+        qp = scene.q_packed[jnp.clip(pidx, 0, scene.q_packed.shape[0] - 1)]
+        w2o_rows = qp[..., :12].reshape(qp.shape[:-1] + (3, 4))
+        par = qp[..., 12:24]
+        # Object-space hit point from (o + t d) through w2o.
+        p_w = o + jnp.where(jnp.isfinite(t), t, 0.0)[..., None] * d
+        p_o = (
+            jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], p_w)
+            + w2o_rows[..., :3, 3]
+        )
+        # Implicit gradients per type (normalized below; world via w2o^T).
+        zeros = jnp.zeros_like(p_o[..., 0])
+        ng_o = ng
+        for qt in quadric_types:
+            if qt == sc.SHAPE_SPHERE:
+                g = p_o
+            elif qt == sc.SHAPE_CYLINDER:
+                g = jnp.stack([p_o[..., 0], p_o[..., 1], zeros], -1)
+            elif qt == sc.SHAPE_DISK:
+                g = jnp.stack([zeros, zeros, jnp.ones_like(zeros)], -1)
+            elif qt == sc.SHAPE_CONE:
+                # x^2+y^2-k(z-h)^2: grad = (2x, 2y, -2k(z-h)).
+                k = (par[..., 0] / jnp.maximum(par[..., 1], 1e-12)) ** 2
+                g = jnp.stack(
+                    [p_o[..., 0], p_o[..., 1],
+                     -k * (p_o[..., 2] - par[..., 1])], -1)
+            elif qt == sc.SHAPE_PARABOLOID:
+                k = par[..., 2] / jnp.maximum(par[..., 0] ** 2, 1e-12)
+                g = jnp.stack(
+                    [2 * k * p_o[..., 0], 2 * k * p_o[..., 1],
+                     -jnp.ones_like(zeros)], -1)
+            else:  # hyperboloid: ah(x^2+y^2) - ch z^2
+                g = jnp.stack(
+                    [par[..., 0] * p_o[..., 0], par[..., 0] * p_o[..., 1],
+                     -par[..., 1] * p_o[..., 2]], -1)
+            gw = normalize(jnp.einsum(
+                "...ji,...j->...i", w2o_rows[..., :3, :3], normalize(g)))
+            ng_o = jnp.where((ptype == qt)[..., None], gw, ng_o)
+        rev = scene.q_rev[jnp.clip(pidx, 0, scene.q_rev.shape[0] - 1)]
+        is_q = ptype != sc.SHAPE_TRIANGLE
+        ng_o = jnp.where((is_q & rev)[..., None], -ng_o, ng_o)
+        ng = ng_o
+    return jnp.where(hit[..., None], ng, 0.0)
 
 
 def sample_one_light(
@@ -166,6 +265,7 @@ def sample_one_light(
     pick=None,
     tr_fn=None,
     isect_tr_fn=None,
+    extra_ray=None,
 ):
     """UniformSampleOneLight (integrator.cpp:85-106): pick one light from the
     scene distribution (or a precomputed per-lane (light_idx, pmf) from the
@@ -189,7 +289,11 @@ def sample_one_light(
         quadric_types,
         tr_fn=tr_fn,
         isect_tr_fn=isect_tr_fn,
+        extra_ray=extra_ray,
     )
+    if extra_ray is not None:
+        ld, extra_hit = ld
+        return ld / jnp.maximum(pmf, 1e-20)[..., None], extra_hit
     return ld / jnp.maximum(pmf, 1e-20)[..., None]
 
 

@@ -83,9 +83,15 @@ def li_path(
     dim = start_dim
     n_rays = jnp.zeros((), jnp.float32)
 
+    # Camera-ray closest hit; every later bounce's extension ray is traced
+    # inside the SAME kernel launch as that bounce's shadow + MIS rays
+    # (estimate_direct extra_ray) — one traversal launch per bounce.
+    t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
+    # The bounce loop can fold the extension ray into the NEE launch only
+    # when subsurface lanes can't relocate the exit point afterwards.
+    merge_next = sc.MAT_SUBSURFACE not in mat_types
     for bounce in range(cfg.max_depth + 1):
         n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
-        t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
         rec = tv.hit_record(scene, o, d, t, prim, quadric_types)
         found = rec["hit"] & alive
 
@@ -136,18 +142,30 @@ def li_path(
                 scene.spatial_inv_extent, scene.spatial_cdf,
                 rec["p"], u_select,
             )
-        ld = common.sample_one_light(
-            scene, rec, frame, mat, wo_local,
-            u_select, u_light, u_scatter,
-            has_bsdf, mat_types, light_types, quadric_types, pick=pick,
-        )
-        L = L + jnp.where(has_bsdf[..., None], beta * ld, 0.0)
-
-        # ---- BSDF sampling for the next bounce (dims +5,+6) ----
+        # ---- BSDF sampling for the next bounce (dims +5,+6; drawn before
+        # the NEE call so the extension ray can ride its kernel launch —
+        # dim INDICES are unchanged, so the sample stream is identical) ----
         u_bsdf = sa.get_2d(sampler_cfg, sampler_state, dim)
-        dim += 2
         bs = bx.sample_material(mat, wo_local, u_bsdf, mat_types)
         wi_world = bx.to_world(ss, ts, ns, bs["wi"])
+        o_next = offset_ray_origin(rec["p"], rec["p_error"], rec["ng"], wi_world)
+
+        if merge_next:
+            ld, (t_next, prim_next) = common.sample_one_light(
+                scene, rec, frame, mat, wo_local,
+                u_select, u_light, u_scatter,
+                has_bsdf, mat_types, light_types, quadric_types, pick=pick,
+                extra_ray=(o_next, wi_world),
+            )
+        else:
+            ld = common.sample_one_light(
+                scene, rec, frame, mat, wo_local,
+                u_select, u_light, u_scatter,
+                has_bsdf, mat_types, light_types, quadric_types, pick=pick,
+            )
+        L = L + jnp.where(has_bsdf[..., None], beta * ld, 0.0)
+        dim += 2  # the u_bsdf dims (+5, +6) consumed above
+
         contrib = (
             bs["f"]
             * (absdot(wi_world, ns) / jnp.maximum(bs["pdf"], 1e-20))[..., None]
@@ -164,7 +182,7 @@ def li_path(
         eta_fac = jnp.where(entering, et * et, 1.0 / jnp.maximum(et * et, 1e-12))
         eta_scale = jnp.where(transmitted, eta_scale * eta_fac, eta_scale)
 
-        o = offset_ray_origin(rec["p"], rec["p_error"], rec["ng"], wi_world)
+        o = o_next
         d = wi_world
 
         # ---- Subsurface scattering (path.cpp:152-174): lanes that sampled
@@ -261,6 +279,13 @@ def li_path(
                 beta / jnp.maximum(1.0 - q, 1e-6)[..., None],
                 beta,
             )
+
+        # Next bounce's closest hit: already traced in the NEE launch, or
+        # traced here when subsurface lanes may have relocated the ray.
+        if merge_next:
+            t, prim = t_next, prim_next
+        else:
+            t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
 
     if count_rays:
         return L, n_rays

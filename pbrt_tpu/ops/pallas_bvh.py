@@ -16,8 +16,10 @@ So: PACKET traversal — one shared traversal order per block of rays
     static-size dynamic slices, vector slab test over all 1024 lanes;
   * a scalar stack lives in SMEM scratch; descend order = packet majority
     vote on the split-axis direction sign;
-  * leaf prims (leaf_tris [NL, 4, 11]: type, prim_id, v0|v1|v2 x4 slots)
-    are tested by the whole packet, 4 slots unrolled.
+  * leaf prims (kernel_leaves [NL, 128]: 7 slots of {type, prim_id,
+    v0|v1|v2}) are tested by the whole packet, slots unrolled;
+  * one packet per grid step — Pallas streams ray/output blocks, so batch
+    size is VMEM-unbounded.
 
 Divergence cost = the packet visits the union of its rays' nodes, so callers
 should sort rays by (direction octant, origin morton) between bounces; the
@@ -44,7 +46,7 @@ PACKET = LANES * SUBLANES  # 1024 rays per packet
 STACK_DEPTH = 64
 NODE_W = 16  # padded node row: bounds(6) child(1) nprims(1) axis(1) pad(7)
 SLOT_W = 16  # padded leaf slot: type, prim_id, 9 verts, pad
-MAX_LEAF = 4
+MAX_LEAF = 7  # 7 slots x SLOT_W 16 = 112 of the 128-wide DMA row
 LEAF_ROW_W = 128  # HBM rows padded to the (1,128) tiling
 
 
@@ -154,10 +156,11 @@ def _make_kernel(n_nodes: int, n_leaves: int):
             lane = nd & 127
             sel = (lane_iota == lane).astype(jnp.float32)  # [1, 128]
 
-            def field(k):
-                return jnp.sum(page[0, k : k + 1, :] * sel)
-
-            row = [field(k) for k in range(9)]
+            # ONE masked lane-reduction extracts all fields at once
+            # ([NODE_W,128] -> [NODE_W]); 9 separate [1,128] reductions per
+            # node visit were the single largest cost of the traversal loop.
+            fields = jnp.sum(page[0] * sel, axis=-1)
+            row = [fields[k] for k in range(9)]
             # Vector slab test.
             t0x = (row[0] - ox) * inv_dx
             t1x = (row[3] - ox) * inv_dx
@@ -205,9 +208,16 @@ def _make_kernel(n_nodes: int, n_leaves: int):
                     prim_best = jnp.where(take, pid, prim_best)
                 return t_best, prim_best
 
-            t_best, prim_best = jax.lax.cond(
-                any_hit & is_leaf, do_leaf, lambda a: a, (t_best, prim_best)
-            )
+            # Perf probe: PBRT_TPU_PROBE_NOLEAF=1 skips leaf tests (WRONG
+            # results; isolates node-walk cost from leaf DMA+tri tests).
+            import os as _os
+
+            if _os.environ.get("PBRT_TPU_PROBE_NOLEAF"):
+                pass
+            else:
+                t_best, prim_best = jax.lax.cond(
+                    any_hit & is_leaf, do_leaf, lambda a: a, (t_best, prim_best)
+                )
 
             # ---- stack ops (scalar, SMEM) ----
             push = any_hit & ~is_leaf

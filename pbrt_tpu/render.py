@@ -15,11 +15,16 @@ from .sceneio import RenderSetup
 log = logging.getLogger("pbrt_tpu")
 
 
-def render_setup(setup: RenderSetup, spp_override=None, res_override=None):
+def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
+                 crop=None):
     """Build the scene + run the configured integrator.  Returns (img, stats)."""
     scene = setup.build_scene()
     film_cfg, filt = setup.make_film_config()
     sampler_cfg = setup.make_sampler_config()
+    if crop is not None:
+        import dataclasses
+
+        film_cfg = dataclasses.replace(film_cfg, crop_window=tuple(crop))
     if res_override is not None:
         import dataclasses
 
@@ -124,12 +129,14 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None):
     return img, stats
 
 
-def render_file(path: str, out: str | None = None, spp=None, res=None):
+def render_file(path: str, out: str | None = None, spp=None, res=None,
+                crop=None):
     from .sceneio import parse_pbrt_file
     from .utils.imageio import write_image
 
     setup = parse_pbrt_file(path)
-    img, stats = render_setup(setup, spp_override=spp, res_override=res)
+    img, stats = render_setup(setup, spp_override=spp, res_override=res,
+                              crop=crop)
     if out is None:
         from .sceneio.paramset import ParamSet
 

@@ -184,10 +184,10 @@ class SceneArrays:
     tri_verts: jnp.ndarray = None  # [T,9] f32 pre-dereferenced p0|p1|p2
     q_packed: jnp.ndarray = None  # [Q,24] f32 w2o rows (12) | params (12)
     nodes_packed: jnp.ndarray = None  # [M,9] f32: bounds(6), child/leaf, nprims, axis
-    leaf_packed: jnp.ndarray = None  # [NL,80] f32: 4 prim slots x 20
+    leaf_packed: jnp.ndarray = None  # [NL,140] f32: 4 prim slots x 20
     # Pallas packet-kernel tables (ops/pallas_bvh.py layout)
     kernel_nodes: jnp.ndarray = None  # [M,16] f32
-    kernel_leaves: jnp.ndarray = None  # [NL,64] f32 (4 tri slots x 16)
+    kernel_leaves: jnp.ndarray = None  # [NL,128] f32 (7 tri slots x 16, padded)
     q_prim_id: jnp.ndarray = None  # [Q] BVH-ordered prim row per quadric
     # ---- media (core/medium.h:102 MediumInterface per primitive) ----
     prim_medium_inside: jnp.ndarray = None  # [P] medium id or -1
@@ -660,7 +660,7 @@ class SceneBuilder:
         return first_light
 
     # -- freeze --
-    def build(self, max_prims_in_node: int = 4,
+    def build(self, max_prims_in_node: int = 7,
               accelerator: str | None = None) -> SceneArrays:
         assert self.prims, "scene has no primitives"
         bmin = np.stack([pr.bmin for pr in self.prims]).astype(np.float32)
@@ -745,10 +745,12 @@ class SceneBuilder:
         is_leaf = bvh.n_prims > 0
         leaf_ids = np.cumsum(is_leaf) - 1  # leaf row per node
         n_leaves = max(int(is_leaf.sum()), 1)
-        leaf_packed = np.zeros((n_leaves, 80), np.float32)
+        # 7 slots x 20 floats (the kernel's 128-wide leaf DMA row fits 7
+        # 16-float slots; wider leaves = fewer leaf DMAs + shallower tree).
+        leaf_packed = np.zeros((n_leaves, 140), np.float32)
         leaf_packed[:, 0::20] = -1.0  # empty slots: shape_type -1
         leaf_nodes = np.nonzero(is_leaf)[0]
-        for k in range(4):  # slot k
+        for k in range(7):  # slot k
             has = bvh.n_prims[leaf_nodes] > k
             ln = leaf_nodes[has]
             rows = leaf_ids[ln]
@@ -767,9 +769,9 @@ class SceneBuilder:
                 sidx[q_m], :16
             ]
         # Kernel tables: triangle-only leaf slots (node rows filled below).
-        kernel_leaves = np.zeros((n_leaves, 4, 16), np.float32)
+        kernel_leaves = np.zeros((n_leaves, 7, 16), np.float32)
         kernel_leaves[:, :, 0] = -1.0
-        for k in range(4):
+        for k in range(7):
             src = leaf_packed[:, 20 * k : 20 * k + 20]
             kernel_leaves[:, k, 0] = src[:, 0]
             kernel_leaves[:, k, 1] = src[:, 1]
@@ -838,8 +840,8 @@ class SceneBuilder:
             kernel_leaves=jnp.asarray(
                 np.concatenate(
                     [
-                        kernel_leaves.reshape(n_leaves, 64),
-                        np.zeros((n_leaves, 64), np.float32),
+                        kernel_leaves.reshape(n_leaves, 112),
+                        np.zeros((n_leaves, 16), np.float32),
                     ],
                     -1,
                 )  # rows padded to 128 (Mosaic HBM DMA tiling requirement)

@@ -851,7 +851,7 @@ class PbrtApi:
             from .plyload import load_ply
 
             fname = ps.find_one_string("filename", "")
-            idx, p, n, uv = load_ply(fname)
+            idx, p, n, uv = load_ply(self._resolve_path(fname))
             b.add_triangle_mesh(idx, p, n=n, uv=uv, object_to_world=o2w, material=mat)
         elif name == "curve":
             from ..shapes.curve import tessellate_curves

@@ -162,6 +162,7 @@ def parse_pbrt_string(text: str, cwd="."):
     from .api import PbrtApi
 
     api = PbrtApi()
+    api.cwd = cwd  # file-relative resolution base (fileutil.cpp:47-61)
     parse_tokens(_TokenStream(tokenize(text)), api, cwd=cwd)
     return api.finalize()
 

@@ -311,7 +311,7 @@ def _world_attrs(o2w, w2o, p_hit, ng_obj, err_scale):
 
 
 def _cone_roots(oo, od, radius, height):
-    k = (radius / height) ** 2
+    k = (radius / jnp.where(height == 0.0, 1e-12, height)) ** 2
     ozh = oo[..., 2] - height
     a = od[..., 0] ** 2 + od[..., 1] ** 2 - k * od[..., 2] ** 2
     b = 2.0 * (od[..., 0] * oo[..., 0] + od[..., 1] * oo[..., 1]
