@@ -1,0 +1,106 @@
+"""Sampler parity vs sequences dumped from the reference pbrt-v3 binary.
+
+The goldens in refgold/goldens/ were produced by refgold/sampler_dump.cpp
+compiled against the reference source (see refgold/build_reference.sh):
+for each sampler, pixels of three 2x2 blocks of a 64x64 image, 16 spp,
+the stream in pbrt's consumption order (camera dims 0-4 = pFilm/time/pLens,
+then 10 Get2D pairs, then 10 Get1D values) -> [12, 16, 35] f32.
+
+halton/sobol are the bit-exact parity samplers (GlobalSampler bit math,
+core/sampler.cpp:136-196); stratified/(0,2)/maxmin/random are stateless
+re-expressions with documented deviations (samplers/samplers.py:16-23) and
+are NOT golden-compared here.
+"""
+import pathlib
+
+import numpy as np
+import pytest
+
+from pbrt_tpu.samplers import samplers as S
+
+GOLD = pathlib.Path(__file__).resolve().parent.parent / "refgold" / "goldens"
+
+PIXELS = []
+for ox, oy in ((0, 0), (17, 5), (60, 62)):
+    for dy in range(2):
+        for dx in range(2):
+            PIXELS.append((min(ox + dx, 63), min(oy + dy, 63)))
+PIXELS = np.array(PIXELS, np.int32)  # [12, 2]
+SPP = 16
+NUM2D = 10
+NUM1D = 10
+STRIDE = 5 + 2 * NUM2D + NUM1D
+
+
+def _load(name):
+    p = GOLD / f"sampler_{name}.f32"
+    if not p.exists():
+        pytest.skip(f"golden {p} missing (run refgold/build_reference.sh)")
+    return np.fromfile(p, "<f4").reshape(len(PIXELS), SPP, STRIDE)
+
+
+def _our_stream(name):
+    """Reproduce the dump-tool stream with our stateless samplers."""
+    import jax.numpy as jnp
+
+    cfg = S.SamplerConfig(name=name, spp=SPP, resolution=(64, 64))
+    pix = np.repeat(PIXELS, SPP, axis=0)  # [12*16, 2]
+    snum = np.tile(np.arange(SPP, dtype=np.int32), len(PIXELS))
+    state = S.init_state(cfg, jnp.asarray(pix), jnp.asarray(snum))
+    cols = []
+    p_film, time, p_lens = S.get_camera_sample(cfg, state, jnp.asarray(pix))
+    cols += [p_film[:, 0], p_film[:, 1], time, p_lens[:, 0], p_lens[:, 1]]
+    dim = 5
+    for _ in range(NUM2D):
+        u = S.get_2d(cfg, state, dim)
+        cols += [u[:, 0], u[:, 1]]
+        dim += 2
+    for _ in range(NUM1D):
+        cols.append(S.get_1d(cfg, state, dim))
+        dim += 1
+    out = np.stack([np.asarray(c) for c in cols], axis=-1)
+    return out.reshape(len(PIXELS), SPP, STRIDE)
+
+
+@pytest.mark.parametrize("name", ["sobol", "halton"])
+def test_stream_matches_reference(name):
+    gold = _load(name)
+    ours = _our_stream(name)
+    # Bit-exact for sobol; halton's radical inverse accumulates in f32 on
+    # TPU vs double in the reference -> allow 2 ulp (~2.4e-7 absolute).
+    tol = 0.0 if name == "sobol" else 3e-7
+    np.testing.assert_allclose(ours, gold, rtol=0, atol=tol)
+
+
+@pytest.mark.parametrize("name", ["sobol", "halton"])
+def test_raw_dimension_table(name):
+    """SampleDimension(idx, dim) for dims 2..31, idx 0..255 (dims 0-1 are
+    pixel-relative and covered by the stream test above)."""
+    import jax.numpy as jnp
+    from pbrt_tpu.core import lowdiscrepancy as ld
+
+    p = GOLD / f"{name}_dims.f32"
+    if not p.exists():
+        pytest.skip("golden missing")
+    gold = np.fromfile(p, "<f4").reshape(32, 256)
+    idx = np.arange(256, dtype=np.uint32)
+    for dim in range(2, 32):
+        if name == "sobol":
+            ours = np.asarray(
+                ld.sobol_sample_float64idx(
+                    jnp.zeros_like(jnp.asarray(idx)), jnp.asarray(idx), dim
+                )
+            )
+            np.testing.assert_array_equal(ours, gold[dim], err_msg=f"dim {dim}")
+        else:
+            perms = ld.radical_inverse_permutations().astype(np.int32)
+            off = int(ld.PRIME_SUMS[dim])
+            pr = int(ld.PRIMES[dim])
+            ours = np.asarray(
+                ld.scrambled_radical_inverse(
+                    dim, jnp.asarray(idx), jnp.asarray(perms[off : off + pr])
+                )
+            )
+            np.testing.assert_allclose(
+                ours, gold[dim], rtol=0, atol=3e-7, err_msg=f"dim {dim}"
+            )
