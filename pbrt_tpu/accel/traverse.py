@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import vecmath as vm
+
 from ..core.vecmath import gamma
 from ..shapes.triangle import intersect_triangle
 from ..shapes import quadrics as quad
@@ -59,8 +61,8 @@ def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
         qp = scene.q_packed[jnp.clip(pidx, 0, scene.q_packed.shape[0] - 1)]
         w2o_rows = qp[..., :12].reshape(qp.shape[:-1] + (3, 4))
         par = qp[..., 12:16]
-        oo = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], o) + w2o_rows[..., :3, 3]
-        od = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], d)
+        oo = vm.xform_point(w2o_rows, o)
+        od = vm.xform_vector(w2o_rows, d)
         if sc.SHAPE_SPHERE in quadric_types:
             s = quad.intersect_sphere_object(
                 oo, od, t_best, par[..., 0], par[..., 1], par[..., 2], par[..., 3]
@@ -109,8 +111,8 @@ def _test_slot(slot, o, d, t_best, quadric_types):
     if quadric_types:
         w2o_rows = slot[..., 2:14].reshape(slot.shape[:-1] + (3, 4))
         par = slot[..., 14:18]
-        oo = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], o) + w2o_rows[..., :3, 3]
-        od = jnp.einsum("...ij,...j->...i", w2o_rows[..., :3, :3], d)
+        oo = vm.xform_point(w2o_rows, o)
+        od = vm.xform_vector(w2o_rows, d)
         fns = {
             sc.SHAPE_SPHERE: quad.intersect_sphere_object,
             sc.SHAPE_CYLINDER: quad.intersect_cylinder_object,

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..core.pytree import pytree_dataclass, static_field
 from ..core import transform as tf
 from ..core import sampling as smp
+from ..core import vecmath as vm
 from ..core.vecmath import normalize, vec
 
 CAM_PERSPECTIVE = 0
@@ -139,11 +140,13 @@ def make_environment_camera(
 
 
 def _xform_point(m, p):
-    return p @ m[:3, :3].T + m[:3, 3]
+    # Mul+sum, not `@`: dot_general runs in bf16 passes on TPU by default,
+    # which would quantize every camera ray to 8 mantissa bits.
+    return vm.xform_point(m, p)
 
 
 def _xform_vector(m, v):
-    return v @ m[:3, :3].T
+    return vm.xform_vector(m, v)
 
 
 def generate_rays(cam, p_film, p_lens, time_u):
@@ -179,7 +182,8 @@ def generate_rays(cam, p_film, p_lens, time_u):
     )
     p_cam_h = _xform_point(cam.raster_to_camera, p_raster)
     w = (
-        p_raster @ cam.raster_to_camera[3, :3].T + cam.raster_to_camera[3, 3]
+        jnp.sum(cam.raster_to_camera[3, :3] * p_raster, axis=-1)
+        + cam.raster_to_camera[3, 3]
     )
     p_cam = p_cam_h / w[..., None]
 

@@ -164,7 +164,8 @@ def interpolate(at: AnimatedXf, time) -> jnp.ndarray:
     trans = (1 - dtc)[..., None] * at.trans[0] + dtc[..., None] * at.trans[1]
     rot = quat_to_matrix(slerp(dtc, at.quat[0][None], at.quat[1][None]))
     scl = (1 - dtc)[..., None, None] * at.scale[0] + dtc[..., None, None] * at.scale[1]
-    rs = jnp.einsum("...ij,...jk->...ik", rot, scl)
+    # Mul+sum, not einsum: dot_general runs bf16 on TPU by default.
+    rs = jnp.sum(rot[..., :, :, None] * scl[..., None, :, :], axis=-2)
     m = jnp.zeros(time.shape + (4, 4), jnp.float32)
     m = m.at[..., :3, :3].set(rs)
     m = m.at[..., :3, 3].set(trans)

@@ -32,11 +32,11 @@ _XYZ2RGB = jnp.array(
 
 
 def rgb_to_xyz(rgb):
-    return rgb @ _RGB2XYZ.T
+    return jnp.sum(_RGB2XYZ * rgb[..., None, :], axis=-1)
 
 
 def xyz_to_rgb(xyz):
-    return xyz @ _XYZ2RGB.T
+    return jnp.sum(_XYZ2RGB * xyz[..., None, :], axis=-1)
 
 
 def luminance(rgb):

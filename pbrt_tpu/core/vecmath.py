@@ -54,6 +54,32 @@ def normalize(v):
     return v / jnp.sqrt(jnp.maximum(length_squared(v), 1e-30))[..., None]
 
 
+def xform_point(m, p):
+    """Apply the affine part of a 4x4 (or [..., 4, 4]) matrix to points [..., 3].
+
+    Implemented as broadcast multiply+sum, NOT `@`/einsum: tiny contractions
+    lower to dot_general, which TPUs execute in bfloat16 passes by default —
+    quantizing every ray/vertex to 8 mantissa bits.  Mul+sum stays on the VPU
+    in full f32 (and is faster than an MXU dispatch at these shapes).
+    """
+    return jnp.sum(m[..., :3, :3] * p[..., None, :], axis=-1) + m[..., :3, 3]
+
+
+def xform_vector(m, v):
+    return jnp.sum(m[..., :3, :3] * v[..., None, :], axis=-1)
+
+
+def xform_normal_w2o(w2o, n):
+    """Transform a normal with (M^-1)^T given the world-to-object matrix:
+    n_world[i] = sum_j w2o[j, i] * n_obj[j] (transform.h:287-295)."""
+    return jnp.sum(w2o[..., :3, :3] * n[..., :, None], axis=-2)
+
+
+def xform_abs(m, x):
+    """|m[:3,:3]| applied to x (error-bound propagation, transform.h:1052)."""
+    return jnp.sum(jnp.abs(m[..., :3, :3]) * x[..., None, :], axis=-1)
+
+
 def distance(p, q):
     return length(p - q)
 

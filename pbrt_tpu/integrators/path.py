@@ -139,7 +139,7 @@ def li_path(
 
             pick = ldist.spatial_pick_light(
                 scene.spatial_grid_res, scene.spatial_b0,
-                scene.spatial_inv_extent, scene.spatial_cdf,
+                scene.spatial_diag, scene.spatial_cdf, scene.spatial_pmf,
                 rec["p"], u_select,
             )
         # ---- BSDF sampling for the next bounce (dims +5,+6; drawn before
@@ -236,7 +236,7 @@ def li_path(
 
                 pick2 = ldist.spatial_pick_light(
                     scene.spatial_grid_res, scene.spatial_b0,
-                    scene.spatial_inv_extent, scene.spatial_cdf,
+                    scene.spatial_diag, scene.spatial_cdf, scene.spatial_pmf,
                     spr["p"], u_sel2,
                 )
             ld2 = common.sample_one_light(

@@ -305,7 +305,7 @@ def li_volpath(
 
             pick = ldist.spatial_pick_light(
                 scene.spatial_grid_res, scene.spatial_b0,
-                scene.spatial_inv_extent, scene.spatial_cdf,
+                scene.spatial_diag, scene.spatial_cdf, scene.spatial_pmf,
                 rec["p"], u_select,
             )
         # handleMedia=true: shadow/BSDF-MIS rays carry transmittance and

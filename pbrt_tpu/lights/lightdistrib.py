@@ -5,14 +5,17 @@ TPU re-expression of core/lightdistrib.{h,cpp}:
   * Spatial (lightdistrib.cpp:91-300 SpatialLightDistribution): pbrt fills a
     <=64^3 voxel grid lazily into a lock-free hash table, estimating each
     light's unoccluded contribution over the voxel by Monte Carlo.  Here the
-    grid is precomputed EAGERLY (device-friendly: the render loop then does
-    one integer voxel index + one CDF-row gather per shading point), built
-    once at render setup on the host CPU backend using the same device
-    sample_li code.
+    grid is precomputed EAGERLY for every voxel that can contain a shading
+    point (voxels overlapping primitive/medium bounds; lazy vs eager gives
+    bit-identical per-voxel values, so this is a schedule change, not a
+    semantic one).  The render loop then does one integer voxel index + one
+    CDF-row gather per shading point — no host round trips.
 
-Deviations (documented): grid resolution capped at 32/axis (pbrt: 64) and 16
-MC points per voxel (pbrt: 128) to bound eager build cost; per-voxel minimum
-probability follows lightdistrib.cpp:289-294.
+Parity-exact reproduction of lightdistrib.cpp:233-297 ComputeDistribution:
+64 voxels along the largest axis, 128 Halton points per voxel
+(RadicalInverse dims 0-4), f32 accumulation in pbrt's order, the 0.001*avg
+minimum-contribution floor, and Distribution1D's exact f32 CDF arithmetic
+(sampling.h:678-712).
 """
 from __future__ import annotations
 
@@ -20,95 +23,235 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-MAX_VOXELS_PER_AXIS = 32
-N_POINTS_PER_VOXEL = 16
+MAX_VOXELS_PER_AXIS = 64  # lightdistrib.cpp:94 (maxVoxels=64)
+N_POINTS_PER_VOXEL = 128  # lightdistrib.cpp:255 (nSamples=128)
+
+
+def _radical_inverse_table(n, bases=(2, 3, 5, 7, 11)):
+    """RadicalInverse(dim, i) for i < n (lowdiscrepancy.h:70-90), computed
+    with double accumulation exactly like the reference, returned as f64."""
+    out = np.zeros((len(bases), n), np.float64)
+    for d, b in enumerate(bases):
+        inv_base = 1.0 / b
+        for i in range(n):
+            a = i
+            reversed_digits = 0
+            inv_base_n = 1.0
+            while a:
+                next_a = a // b
+                digit = a - next_a * b
+                reversed_digits = reversed_digits * b + digit
+                inv_base_n *= inv_base
+                a = next_a
+            out[d, i] = min(reversed_digits * inv_base_n, 1.0 - 2**-53)
+    return out
+
+
+def _distribution1d_rows(func):
+    """pbrt Distribution1D built per row in f32 (sampling.h:678-712).
+
+    func: [V, L] f32.  Returns (cdf [V, L+1], pmf [V, L]) with pbrt's exact
+    arithmetic: cdf[i] = cdf[i-1] + func[i-1]/n, funcInt = cdf[n], then
+    cdf /= funcInt; pmf[i] = func[i] / (funcInt * n) (DiscretePDF).
+    """
+    func = func.astype(np.float32)
+    V, L = func.shape
+    cdf = np.zeros((V, L + 1), np.float32)
+    n32 = np.float32(L)
+    for i in range(1, L + 1):
+        cdf[:, i] = cdf[:, i - 1] + func[:, i - 1] / n32
+    func_int = cdf[:, L].copy()
+    zero = func_int == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cdf = np.where(zero[:, None], np.arange(L + 1, dtype=np.float32) / n32,
+                       cdf / func_int[:, None])
+    pmf = np.where(
+        zero[:, None],
+        np.float32(1.0 / L),
+        func / np.where(zero, 1.0, func_int)[:, None] / n32,
+    ).astype(np.float32)
+    return cdf.astype(np.float32), pmf
+
+
+def _occupied_voxels(scene, b0, b1, res):
+    """Conservative voxel occupancy: which voxels can contain a shading
+    point.  Surface points lie inside some primitive's world bounds; medium
+    points inside a medium's bounds.  Rasterize those boxes (dilated by one
+    voxel for f32 boundary slop) into the grid."""
+    nx, ny, nz = int(res[0]), int(res[1]), int(res[2])
+    occ = np.zeros((nx, ny, nz), bool)
+    diag = np.maximum(b1 - b0, 1e-20)
+
+    def mark(lo, hi):
+        lo_i = np.floor((lo - b0) / diag * res).astype(np.int64) - 1
+        hi_i = np.floor((hi - b0) / diag * res).astype(np.int64) + 1
+        lo_i = np.clip(lo_i, 0, res - 1)
+        hi_i = np.clip(hi_i, 0, res - 1)
+        occ[lo_i[0]:hi_i[0] + 1, lo_i[1]:hi_i[1] + 1, lo_i[2]:hi_i[2] + 1] = True
+
+    # Triangles: vertex min/max per triangle (tri_attr cols 0:9).
+    ta = np.asarray(scene.tri_attr)
+    if ta.size:
+        v = ta[:, 0:9].reshape(-1, 3, 3)
+        mn = v.min(1)
+        mx = v.max(1)
+        # Batch into one global fill per connected chunk is overkill; a
+        # per-triangle python loop is too slow for big meshes, so rasterize
+        # triangle bbox CENTERS +- halfsize at voxel resolution vectorized.
+        lo_i = np.clip(np.floor((mn - b0) / diag * res).astype(np.int64) - 1, 0, res - 1)
+        hi_i = np.clip(np.floor((mx - b0) / diag * res).astype(np.int64) + 1, 0, res - 1)
+        spans = hi_i - lo_i
+        small = (spans <= 2).all(1)
+        # Vectorize the common case (triangle smaller than ~3 voxels/axis).
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    sel = small & (dx <= spans[:, 0]) & (dy <= spans[:, 1]) & (dz <= spans[:, 2])
+                    if sel.any():
+                        ii = lo_i[sel]
+                        occ[ii[:, 0] + dx, ii[:, 1] + dy, ii[:, 2] + dz] = True
+        for t in np.nonzero(~small)[0]:
+            mark(mn[t], mx[t])
+
+    # Quadrics: transformed object-space bounds (conservative corner union).
+    if scene.q_type is not None and np.asarray(scene.q_type).size:
+        o2w = np.asarray(scene.q_o2w)
+        par = np.asarray(scene.q_params)
+        for qi in range(o2w.shape[0]):
+            r = abs(float(par[qi, 0])) or 1.0
+            corners = np.array(
+                [[sx * r, sy * r, sz * r] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                np.float32,
+            )
+            wc = corners @ o2w[qi, :3, :3].T + o2w[qi, :3, 3]
+            mark(wc.min(0), wc.max(0))
+
+    # Media: any participating medium -> volpath shading points can be
+    # anywhere inside the medium bounds; be conservative and mark them all.
+    if getattr(scene, "media", None) is not None:
+        try:
+            if np.asarray(scene.media.sigma_a).size:
+                occ[:] = True
+        except Exception:
+            occ[:] = True
+    return occ
 
 
 def build_spatial_distribution(scene, light_types):
-    """Returns (grid_res [3] i32, b0 [3], inv_extent [3], cdf [V, L]) numpy.
+    """Returns (grid_res [3] i32, b0 [3], diag [3], cdf [V, L+1], pmf [V, L])
+    numpy, V = nx*ny*nz flattened in x-major (x slowest) order.
 
-    Contribution estimate per lightdistrib.cpp:230-287: for jittered points
-    p in the voxel, accumulate Li_luminance / pdf from Sample_Li (visibility
-    ignored, exactly like the reference).
+    Per-voxel contribution estimate is lightdistrib.cpp:233-287 exactly:
+    128 Halton points p in the voxel (RadicalInverse dims 0-2), per light
+    Li.y()/pdf from Sample_Li at u = (RadicalInverse 3, 4) (visibility
+    ignored), f32 accumulation, then the 0.001*avgContrib floor.
     """
     from . import lights as lt
 
-    # Scene bounds from the BVH root node row (bounds in cols 0:3 / 3:6).
     root = np.asarray(scene.nodes_packed)[0]
     b0 = root[0:3].astype(np.float32)
     b1 = root[3:6].astype(np.float32)
-    diag = np.maximum(b1 - b0, 1e-4)
-    max_d = float(diag.max())
+    diag = (b1 - b0).astype(np.float32)
+    bmax = float(diag.max())
     res = np.maximum(
-        1, np.round(diag / max_d * MAX_VOXELS_PER_AXIS).astype(np.int64)
+        1, np.round(diag.astype(np.float64) / bmax * MAX_VOXELS_PER_AXIS).astype(np.int64)
     )
     nx, ny, nz = int(res[0]), int(res[1]), int(res[2])
     V = nx * ny * nz
     L = int(np.asarray(scene.lights.light_type).shape[0])
+    S = N_POINTS_PER_VOXEL
+
+    occ = _occupied_voxels(scene, b0, b1, res).reshape(-1)
+    vox_ids = np.nonzero(occ)[0]
+    Vo = len(vox_ids)
+
+    ri = _radical_inverse_table(S)  # [5, S] f64
+    # Voxel bounds via pbrt's f32 Lerp chain (lightdistrib.cpp:240-248).
+    vx = (vox_ids // (ny * nz)).astype(np.float32)
+    vy = ((vox_ids // nz) % ny).astype(np.float32)
+    vz = (vox_ids % nz).astype(np.float32)
+    vcoord = np.stack([vx, vy, vz], -1)  # [Vo, 3] f32
+    res32 = res.astype(np.float32)
+    p0 = (vcoord / res32).astype(np.float32)
+    p1 = ((vcoord + np.float32(1.0)) / res32).astype(np.float32)
+    # WorldBound().Lerp(t) = (1-t)*pMin + t*pMax in f32.
+    vmin = ((1 - p0) * b0 + p0 * b1).astype(np.float32)
+    vmax = ((1 - p1) * b0 + p1 * b1).astype(np.float32)
+
+    t_pos = ri[0:3].T.astype(np.float32)  # [S, 3]
+    pts = ((1 - t_pos[None]) * vmin[:, None, :] + t_pos[None] * vmax[:, None, :])
+    pts = pts.reshape(Vo * S, 3).astype(np.float32)
+    u = np.broadcast_to(ri[3:5].T.astype(np.float32), (Vo, S, 2)).reshape(Vo * S, 2)
 
     cpu = jax.devices("cpu")[0]
+    contrib = np.zeros((Vo, L), np.float32)
     with jax.default_device(cpu):
         scene_j = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, scene
         )
-        ix, iy, iz = np.meshgrid(
-            np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
-        )
-        vox = np.stack([ix.ravel(), iy.ravel(), iz.ravel()], -1)  # [V,3]
-        rs = np.random.RandomState(0x9e3779b9 % (2**31))
-        contrib = np.zeros((V, L), np.float64)
-        S = N_POINTS_PER_VOXEL
-        pts = (
-            (vox[:, None, :] + rs.rand(V, S, 3)) / res[None, None, :] * diag
-            + b0
-        ).reshape(V * S, 3).astype(np.float32)
-        u = rs.rand(V * S, 2).astype(np.float32)
-
         sample = jax.jit(
-            lambda li_idx, p, u: lt.sample_li(scene_j, li_idx, p, u, light_types),
-            static_argnames=(),
+            lambda li_idx, p, uu: lt.sample_li(scene_j, li_idx, p, uu, light_types)
         )
+        CHUNK = 1 << 20
         for l in range(L):
-            li_idx = jnp.full((V * S,), l, jnp.int32)
-            s = sample(li_idx, jnp.asarray(pts), jnp.asarray(u))
-            li = np.asarray(s["li"], np.float64)
-            pdf = np.asarray(s["pdf"], np.float64)
-            y = 0.212671 * li[:, 0] + 0.715160 * li[:, 1] + 0.072169 * li[:, 2]
-            w = np.where(pdf > 0, y / np.maximum(pdf, 1e-12), 0.0)
-            contrib[:, l] = w.reshape(V, S).mean(1)
+            w_all = np.zeros((Vo * S,), np.float32)
+            for s0 in range(0, Vo * S, CHUNK):
+                s1 = min(s0 + CHUNK, Vo * S)
+                li_idx = jnp.full((s1 - s0,), l, jnp.int32)
+                s = sample(li_idx, jnp.asarray(pts[s0:s1]), jnp.asarray(u[s0:s1]))
+                li = np.asarray(s["li"], np.float32)
+                pdf = np.asarray(s["pdf"], np.float32)
+                y = (np.float32(0.212671) * li[:, 0]
+                     + np.float32(0.715160) * li[:, 1]
+                     + np.float32(0.072169) * li[:, 2]).astype(np.float32)
+                w_all[s0:s1] = np.where(pdf > 0, y / np.where(pdf > 0, pdf, 1.0), 0.0)
+            w = w_all.reshape(Vo, S)
+            # f32 accumulation in pbrt's sample order (i outer).
+            acc = np.zeros((Vo,), np.float32)
+            for i in range(S):
+                acc = (acc + w[:, i]).astype(np.float32)
+            contrib[:, l] = acc
 
-    # Minimum probability floor (lightdistrib.cpp:289-294): never let a
-    # light's pick probability hit zero.
-    sum_c = contrib.sum(1, keepdims=True)
-    avg = sum_c / max(L, 1)
-    min_c = 0.1 * avg
-    contrib = np.where(sum_c > 0, np.maximum(contrib, min_c), 1.0)
-    pmf = contrib / contrib.sum(1, keepdims=True)
-    cdf = np.cumsum(pmf, axis=1)
-    cdf[:, -1] = 1.0
+    # Minimum-probability floor (lightdistrib.cpp:283-294), f32 arithmetic.
+    sum_c = np.zeros((Vo,), np.float32)
+    for l in range(L):
+        sum_c = (sum_c + contrib[:, l]).astype(np.float32)
+    avg = (sum_c / np.float32(S * L)).astype(np.float32)
+    min_c = np.where(avg > 0, np.float32(0.001) * avg, np.float32(1.0))
+    contrib = np.maximum(contrib, min_c[:, None]).astype(np.float32)
+
+    cdf_o, pmf_o = _distribution1d_rows(contrib)
+    # Scatter back to the full grid; never-looked-up voxels get uniform.
+    cdf = np.tile(np.arange(L + 1, dtype=np.float32) / np.float32(L), (V, 1))
+    pmf = np.full((V, L), np.float32(1.0 / L), np.float32)
+    cdf[vox_ids] = cdf_o
+    pmf[vox_ids] = pmf_o
     return (
         np.asarray([nx, ny, nz], np.int32),
         b0,
-        (np.asarray(res, np.float32) / diag).astype(np.float32),
+        diag,
         cdf.astype(np.float32),
+        pmf.astype(np.float32),
     )
 
 
-def spatial_pick_light(grid_res, b0, inv_extent, cdf, p, u):
+def spatial_pick_light(grid_res, b0, diag, cdf, pmf, p, u):
     """Device-side lookup (SpatialLightDistribution::Lookup,
-    lightdistrib.cpp:135-160): voxel index -> CDF row -> inverse transform.
+    lightdistrib.cpp:135-160 + Distribution1D::SampleDiscrete): voxel index
+    -> CDF row -> largest i with cdf[i] <= u.
 
-    Returns (light_idx [N] i32, pmf [N]).
+    Returns (light_idx [N] i32, pmf [N]).  Reproduces pbrt's f32 rounding:
+    offset = (p - b0) / diag (division, not reciprocal-multiply), then
+    int(offset * nVoxels) truncation.
     """
-    q = (p - b0) * inv_extent
-    vi = jnp.clip(q.astype(jnp.int32), 0, grid_res - 1)
+    off = (p - b0) / diag
+    vi = jnp.clip((off * grid_res).astype(jnp.int32), 0, grid_res - 1)
     flat = (vi[..., 0] * grid_res[1] + vi[..., 1]) * grid_res[2] + vi[..., 2]
-    row = cdf[flat]  # [N, L]
-    idx = jnp.sum((row <= u[..., None]).astype(jnp.int32), axis=-1)
-    idx = jnp.clip(idx, 0, row.shape[-1] - 1)
-    lo = jnp.where(idx > 0, jnp.take_along_axis(row, jnp.maximum(idx - 1, 0)[..., None], -1)[..., 0], 0.0)
-    hi = jnp.take_along_axis(row, idx[..., None], -1)[..., 0]
-    return idx, jnp.maximum(hi - lo, 1e-12)
+    row = cdf[flat]  # [N, L+1]
+    idx = jnp.sum((row <= u[..., None]).astype(jnp.int32), axis=-1) - 1
+    idx = jnp.clip(idx, 0, row.shape[-1] - 2)
+    prob = jnp.take_along_axis(pmf[flat], idx[..., None], -1)[..., 0]
+    return idx, jnp.maximum(prob, 1e-20)
 
 
 def ensure_spatial_light_distribution(scene, light_types):
@@ -118,11 +261,12 @@ def ensure_spatial_light_distribution(scene, light_types):
 
     if scene.spatial_cdf is not None:
         return scene
-    res, b0, inv_e, cdf = build_spatial_distribution(scene, light_types)
+    res, b0, diag, cdf, pmf = build_spatial_distribution(scene, light_types)
     return dataclasses.replace(
         scene,
         spatial_grid_res=res,
         spatial_b0=b0,
-        spatial_inv_extent=inv_e,
+        spatial_diag=diag,
         spatial_cdf=cdf,
+        spatial_pmf=pmf,
     )

@@ -53,14 +53,17 @@ from ..scene import (
 # ---------------------------------------------------------------------------
 
 def make_frame(ns, dpdu):
-    """BSDF ctor (reflection.h:166): ss from dpdu orthogonalized against ns."""
-    ss = dpdu - ns * dot(ns, dpdu)[..., None]
-    ss_len = jnp.sqrt(jnp.sum(ss * ss, axis=-1, keepdims=True))
-    # Fallback frame when dpdu ~ parallel to ns.
+    """BSDF ctor (reflection.h:166): ss = Normalize(dpdu), ts = ns x ss.
+
+    pbrt does NOT orthogonalize ss against ns — replicate exactly (shading
+    normals make ss slightly non-perpendicular to ns; the local<->world
+    round trip still works because to_local uses the same dot products)."""
+    ss_len = jnp.sqrt(jnp.sum(dpdu * dpdu, axis=-1, keepdims=True))
+    # Fallback frame when dpdu is degenerate (zero).
     from ..core.vecmath import coordinate_system
 
     fb, _ = coordinate_system(ns)
-    ss = jnp.where(ss_len > 1e-8, ss / jnp.maximum(ss_len, 1e-20), fb)
+    ss = jnp.where(ss_len > 1e-12, dpdu / jnp.maximum(ss_len, 1e-20), fb)
     ts = cross(ns, ss)
     return ss, ts, ns
 
@@ -410,11 +413,14 @@ def _eval_one(mat, wo, wi, mat_types):
         pdf = jnp.where(m, cosine_pdf(wo, wi), pdf)
 
     if MAT_PLASTIC in mat_types:
-        # plastic = lambertian(kd) + TR-microfacet(ks, FresnelDielectric 1.5)
-        # (materials/plastic.cpp:46-60).
+        # plastic = lambertian(kd) + TR-microfacet(ks, FresnelDielectric)
+        # (materials/plastic.cpp:46-60).  NOTE pbrt constructs
+        # FresnelDielectric(etaI=1.5, etaT=1.0) — the inverted order is a
+        # reference quirk we replicate for image parity (front hits get
+        # F(1.5->1), flipped-wh back hits get F(1->1.5)).
         m = t == MAT_PLASTIC
         lam_f = mat["kd"] * INV_PI
-        fres = lambda c: fresnel_dielectric(c, 1.0, 1.5)[..., None]
+        fres = lambda c: fresnel_dielectric(c, 1.5, 1.0)[..., None]
         mfr = microfacet_reflection_f(mat["ks"], mat["ax"], mat["ay"], wo, wi, fres)
         f_m = jnp.where(refl[..., None], lam_f + mfr, mfr * 0.0)
         pdf_m = 0.5 * (
@@ -626,7 +632,8 @@ def _sample_one(mat, wo, u, mat_types):
         wi_d = _cosine_sample_wi(wo, u_re)
         wi_s, _ = microfacet_reflection_sample(mat["ax"], mat["ay"], wo, u_re)
         wi_m = jnp.where(pick_spec_lobe[..., None], wi_s, wi_d)
-        fres = lambda c: fresnel_dielectric(c, 1.0, 1.5)[..., None]
+        # pbrt quirk: plastic's FresnelDielectric is (1.5, 1.0) (plastic.cpp:59).
+        fres = lambda c: fresnel_dielectric(c, 1.5, 1.0)[..., None]
         lam_f = mat["kd"] * INV_PI
         mfr = microfacet_reflection_f(mat["ks"], mat["ax"], mat["ay"], wo, wi_m, fres)
         f_m = jnp.where(same_hemisphere(wo, wi_m)[..., None], lam_f + mfr, 0.0)

@@ -210,7 +210,7 @@ def _interp2d_rows(nodes1, nodes2, values, row_off, alpha, x):
     rows = jnp.clip(off1[..., None] + jnp.arange(4), 0, n1 - 1) + row_off[..., None]
     cols = jnp.clip(off2[..., None] + jnp.arange(4), 0, n2 - 1)
     v = values[rows[..., :, None], cols[..., None, :]]
-    val = jnp.einsum("...ij,...i,...j->...", v, w1, w2)
+    val = jnp.sum(v * w1[..., :, None] * w2[..., None, :], axis=(-2, -1))
     return jnp.where(v1 & v2, val, 0.0)
 
 

@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core import vecmath as vm
+
 from ..core.pytree import pytree_dataclass
 from ..core.vecmath import coordinate_system, dot, normalize, vec
 from ..core.sampling import INV_4PI
@@ -251,8 +253,8 @@ def grid_sample(med: MediumTable, mid, o, dvec, t_max, key, max_steps=256):
     Returns dict: sampled_medium, t (world units), weight [N,3].
     """
     w2m = med.w2m[mid]
-    om = jnp.einsum("...ij,...j->...i", w2m[..., :3, :3], o) + w2m[..., :3, 3]
-    dm = jnp.einsum("...ij,...j->...i", w2m[..., :3, :3], dvec)
+    om = vm.xform_point(w2m, o)
+    dm = vm.xform_vector(w2m, dvec)
     sigma_t_rgb = med.sigma_a[mid] + med.sigma_s[mid]
     sigma_t = sigma_t_rgb[..., 0]
     inv_max_d = med.inv_max_density[mid]
@@ -307,8 +309,8 @@ def grid_sample(med: MediumTable, mid, o, dvec, t_max, key, max_steps=256):
 def grid_tr(med: MediumTable, mid, o, dvec, t_max, key, max_steps=256):
     """GridDensityMedium::Tr (grid.cpp:89-112) — ratio tracking."""
     w2m = med.w2m[mid]
-    om = jnp.einsum("...ij,...j->...i", w2m[..., :3, :3], o) + w2m[..., :3, 3]
-    dm = jnp.einsum("...ij,...j->...i", w2m[..., :3, :3], dvec)
+    om = vm.xform_point(w2m, o)
+    dm = vm.xform_vector(w2m, dvec)
     sigma_t = (med.sigma_a[mid] + med.sigma_s[mid])[..., 0]
     inv_max_d = med.inv_max_density[mid]
 

@@ -425,8 +425,9 @@ def intersect_kernel_with_quadrics(scene, o, d, t_max, quadric_types=(),
             row = q_packed[qi]
             w2o = row[:12].reshape(3, 4)
             par = row[12:24]
-            oo = o @ w2o[:3, :3].T + w2o[:3, 3]
-            od = d @ w2o[:3, :3].T
+            # Mul+sum, not `@`: dot_general in a TPU kernel runs bf16.
+            oo = jnp.sum(w2o[:3, :3] * o[..., None, :], axis=-1) + w2o[:3, 3]
+            od = jnp.sum(w2o[:3, :3] * d[..., None, :], axis=-1)
             valid_q = q_prim[qi] >= 0  # row actually referenced by a prim
             for qt in quadric_types:
                 if qt in fns_par:

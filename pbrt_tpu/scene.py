@@ -203,8 +203,9 @@ class SceneArrays:
     # ensure_spatial_light_distribution when the render uses "spatial") ----
     spatial_grid_res: jnp.ndarray = None  # [3] i32
     spatial_b0: jnp.ndarray = None  # [3]
-    spatial_inv_extent: jnp.ndarray = None  # [3]
-    spatial_cdf: jnp.ndarray = None  # [V, L]
+    spatial_diag: jnp.ndarray = None  # [3] world-bound extent (pbrt Offset divides)
+    spatial_cdf: jnp.ndarray = None  # [V, L+1] pbrt Distribution1D rows
+    spatial_pmf: jnp.ndarray = None  # [V, L] DiscretePDF rows
     # ---- kd-tree accelerator (accel/kdtree.py; Accelerator "kdtree") ----
     kd_nodes: jnp.ndarray = None  # [M,4]
     kd_prim_ids: jnp.ndarray = None  # [K] i32 into ordered prim records

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import vecmath as vm
 from ..core.vecmath import dot, gamma, length, normalize, vec, cross
 
 QUADRIC_SPHERE = 0
@@ -40,17 +41,12 @@ def _quadratic(a, b, c):
     return ok, lo, hi
 
 
-def _to_object(w2o, o, d):
-    oo = o @ w2o[..., :3, :3].swapaxes(-1, -2).squeeze() if w2o.ndim == 2 else None
-    raise NotImplementedError
-
-
 def xform_point(m, p):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    return vm.xform_point(m, p)
 
 
 def xform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return vm.xform_vector(m, v)
 
 
 def intersect_sphere_object(oo, od, t_max, radius, z_min, z_max, phi_max):
@@ -176,15 +172,15 @@ def intersect_sphere(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
     # To world: point via o2w, normal via inverse-transpose = w2o^T.
     p_world = xform_point(o2w, p_hit)
     ng_world = normalize(
-        jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj)
+        vm.xform_normal_w2o(w2o, ng_obj)
     )
     # Transform error through o2w (geometry abs-matrix bound, transform.h:303).
     abs_m = jnp.abs(o2w[..., :3, :3])
     p_err_world = (
-        jnp.einsum("...ij,...j->...i", abs_m, p_err_obj)
+        jnp.sum(abs_m * (p_err_obj)[..., None, :], axis=-1)
         + gamma(3)
         * (
-            jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p_hit))
+            jnp.sum(abs_m * jnp.abs(p_hit)[..., None, :], axis=-1)
             + jnp.abs(o2w[..., :3, 3])
         )
     )
@@ -221,7 +217,7 @@ def intersect_disk(o, d, t_max, w2o, o2w, radius, inner_radius, height, phi_max)
     v = (radius - r_hit) / jnp.maximum(radius - inner_radius, 1e-20)
     ng_obj = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p_hit.shape)
     p_world = xform_point(o2w, p_hit)
-    ng_world = normalize(jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj))
+    ng_world = normalize(vm.xform_normal_w2o(w2o, ng_obj))
     return {
         "hit": hit,
         "t": jnp.where(hit, t, jnp.inf),
@@ -266,13 +262,13 @@ def intersect_cylinder(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
         jnp.stack([p_hit[..., 0], p_hit[..., 1], jnp.zeros_like(phi)], -1)
     )
     p_world = xform_point(o2w, p_hit)
-    ng_world = normalize(jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj))
+    ng_world = normalize(vm.xform_normal_w2o(w2o, ng_obj))
     p_err_obj = gamma(3) * jnp.abs(
         jnp.stack([p_hit[..., 0], p_hit[..., 1], jnp.zeros_like(phi)], -1)
     )
     abs_m = jnp.abs(o2w[..., :3, :3])
-    p_err_world = jnp.einsum("...ij,...j->...i", abs_m, p_err_obj) + gamma(3) * (
-        jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p_hit))
+    p_err_world = jnp.sum(abs_m * (p_err_obj)[..., None, :], axis=-1) + gamma(3) * (
+        jnp.sum(abs_m * jnp.abs(p_hit)[..., None, :], axis=-1)
         + jnp.abs(o2w[..., :3, 3])
     )
     return {
@@ -300,11 +296,11 @@ def intersect_cylinder(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
 def _world_attrs(o2w, w2o, p_hit, ng_obj, err_scale):
     """Object-space hit -> world point/normal/error (shared tail)."""
     p_world = xform_point(o2w, p_hit)
-    ng_world = normalize(jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], ng_obj))
+    ng_world = normalize(vm.xform_normal_w2o(w2o, ng_obj))
     p_err_obj = err_scale * jnp.abs(p_hit)
     abs_m = jnp.abs(o2w[..., :3, :3])
-    p_err_world = jnp.einsum("...ij,...j->...i", abs_m, p_err_obj) + gamma(3) * (
-        jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p_hit))
+    p_err_world = jnp.sum(abs_m * (p_err_obj)[..., None, :], axis=-1) + gamma(3) * (
+        jnp.sum(abs_m * jnp.abs(p_hit)[..., None, :], axis=-1)
         + jnp.abs(o2w[..., :3, 3])
     )
     return p_world, ng_world, p_err_world
