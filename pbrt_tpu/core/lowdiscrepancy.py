@@ -300,3 +300,76 @@ def sobol2d_generator_matrices() -> np.ndarray:
     tables = sobol_tables()
     m = np.asarray(tables["sobol_matrices32"][:2, :32])
     return m
+
+
+def scrambled_radical_inverse_dyn(dim, a, min_dim: int = 5):
+    """ScrambledRadicalInverse at a PER-LANE traced dimension array.
+
+    The wavefront integrator's lane-refill design gives every lane its own
+    dimension cursor (per-lane conditional consumption matches pbrt's
+    sampler semantics exactly: NEE dims skipped at specular-only vertices,
+    the RR dim consumed only when rrBeta < threshold).  `min_dim` is the
+    smallest dimension any lane can request (static), which bounds the
+    digit-loop trip count: dims >= 5 have base >= PRIMES[5] = 13, so a
+    uint32 index has at most ceil(32/log2(13)) + 1 = 10 digits.
+    """
+    import math as _m
+
+    primes_dev = jnp.asarray(PRIMES.astype(np.int32))
+    sums_dev = jnp.asarray(PRIME_SUMS.astype(np.int32))
+    perms_dev = jnp.asarray(radical_inverse_permutations().astype(np.int32))
+    # Idle wavefront lanes keep advancing their cursor; clamp to the table.
+    dim = jnp.clip(jnp.asarray(dim, jnp.int32), 0, PRIME_TABLE_SIZE - 1)
+    base = primes_dev[dim]
+    off = sums_dev[dim]
+    base_u = base.astype(jnp.uint32)
+    inv_base = 1.0 / base.astype(jnp.float32)
+    a = jnp.asarray(a, jnp.uint32)
+    reversed_digits = jnp.zeros(jnp.broadcast_shapes(a.shape, dim.shape), jnp.float32)
+    inv_base_n = jnp.ones_like(reversed_digits)
+    a = jnp.broadcast_to(a, reversed_digits.shape)
+    n_iter = int(_m.ceil(32 / _m.log2(int(PRIMES[min_dim])))) + 1
+    for _ in range(n_iter):
+        nxt = a // base_u
+        digit = (a - nxt * base_u).astype(jnp.int32)
+        live = a > 0
+        pd = perms_dev[off + digit].astype(jnp.float32)
+        reversed_digits = jnp.where(
+            live, reversed_digits * base.astype(jnp.float32) + pd, reversed_digits
+        )
+        inv_base_n = jnp.where(live, inv_base_n * inv_base, inv_base_n)
+        a = nxt
+    perm0 = perms_dev[off].astype(jnp.float32)
+    return jnp.minimum(
+        inv_base_n * (reversed_digits + inv_base * perm0 / (1.0 - inv_base)),
+        ONE_MINUS_EPSILON,
+    )
+
+
+def sobol_sample_bits64_dyn(index_hi, index_lo, dim):
+    """sobol_sample_bits64 with a traced per-lane dimension array: the
+    matrix column block is gathered per lane ([N, 52] rows from the device
+    table) instead of being a baked constant."""
+    tables = sobol_tables()
+    mats = jnp.asarray(tables["sobol_matrices32"])  # [D, 52] u32
+    cols = mats[jnp.asarray(dim, jnp.int32)]  # [..., 52]
+    index_hi = jnp.asarray(index_hi, jnp.uint32)
+    index_lo = jnp.asarray(index_lo, jnp.uint32)
+    shape = jnp.broadcast_shapes(index_lo.shape, cols.shape[:-1])
+    v = jnp.zeros(shape, jnp.uint32)
+    for i in range(SOBOL_MATRIX_SIZE):
+        if i < 32:
+            bit = ((index_lo >> i) & 1) != 0
+        else:
+            bit = ((index_hi >> (i - 32)) & 1) != 0
+        v = v ^ jnp.where(bit, cols[..., i], jnp.uint32(0))
+    return v
+
+
+def sobol_sample_float64idx_dyn(index_hi, index_lo, dim, scramble=0):
+    v = sobol_sample_bits64_dyn(index_hi, index_lo, dim) ^ jnp.asarray(
+        scramble, jnp.uint32
+    )
+    return jnp.minimum(
+        v.astype(jnp.float32) * jnp.float32(_INV_2_32), ONE_MINUS_EPSILON
+    )

@@ -371,6 +371,49 @@ def fresnel_blend_sample(ax, ay, wo, u):
 # Directions are local.  Returns RGB f, scalar pdf.
 # ---------------------------------------------------------------------------
 
+def count_nonspecular(mat, mat_types):
+    """BSDF::NumComponents(BSDF_ALL & ~BSDF_SPECULAR) > 0 per lane.
+
+    pbrt's path integrator SKIPS the NEE sample draws entirely at vertices
+    whose BSDF has no non-specular lobes (path.cpp:117-131) — the wavefront
+    integrator's per-lane dim cursor replicates that.  Lobe presence follows
+    each material's ComputeScatteringFunctions: lobes are added only for
+    non-black coefficients, and glass/uber specular lobes don't count.
+    """
+    t = mat["type"]
+    any3 = lambda x: jnp.any(x > 0.0, axis=-1)
+    out = jnp.zeros(t.shape, bool)
+
+    def put(type_id, flag):
+        nonlocal out
+        if type_id in mat_types:
+            out = jnp.where(t == type_id, flag, out)
+
+    put(MAT_MATTE, any3(mat["kd"]))  # matte.cpp:49-60
+    put(MAT_PLASTIC, any3(mat["kd"]) | any3(mat["ks"]))  # plastic.cpp:46-60
+    # mirror: SpecularReflection only -> 0 nonspecular (mirror.cpp:43-50)
+    put(MAT_MIRROR, jnp.zeros(t.shape, bool))
+    # glass: rough>0 -> microfacet lobes; else specular only (glass.cpp:59-92)
+    put(MAT_GLASS, mat["is_rough"] & (any3(mat["kr"]) | any3(mat["kt"])))
+    put(MAT_METAL, jnp.ones(t.shape, bool))  # metal.cpp microfacet
+    # uber: op*kd lambert + op*ks microfacet are the non-specular lobes
+    put(MAT_UBER, any3(mat["opacity"] * mat["kd"]) | any3(mat["opacity"] * mat["ks"]))
+    put(MAT_SUBSTRATE, any3(mat["kd"]) | any3(mat["ks"]))  # FresnelBlend
+    put(MAT_TRANSLUCENT, any3(mat["kd"]) | any3(mat["ks"]))
+    put(MAT_FOURIER, jnp.ones(t.shape, bool))
+    put(MAT_HAIR, jnp.ones(t.shape, bool))
+    put(MAT_DISNEY, jnp.ones(t.shape, bool))
+    # subsurface surface BSDF: rough>0 microfacet else specular
+    put(MAT_SUBSURFACE, mat["is_rough"])
+    put(MAT_BSSRDF_ADAPTER, jnp.ones(t.shape, bool))
+    if MAT_MIX in mat_types:
+        sub_types = tuple(x for x in mat_types if x != MAT_MIX) or (MAT_MATTE,)
+        a = count_nonspecular(mat["sub_a"], sub_types)
+        b = count_nonspecular(mat["sub_b"], sub_types)
+        out = jnp.where(t == MAT_MIX, a | b, out)
+    return out & (t >= 0)
+
+
 def eval_material(mat, wo, wi, mat_types):
     """BSDF::f + BSDF::Pdf over non-specular lobes (EstimateDirect's
     BSDF_ALL & ~BSDF_SPECULAR query: pdf averaged over matching NON-specular

@@ -48,10 +48,12 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
         cfg = setup.make_integrator_config()
         img = vp.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
     elif name == "path":
-        from .integrators import path as pt
+        # Streaming wavefront engine (persistent lane pool + refill); falls
+        # back to the lockstep loop for subsurface scenes internally.
+        from .integrators import wavefront as wf
 
         cfg = setup.make_integrator_config()
-        img = pt.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+        img = wf.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
     elif name == "directlighting":
         from .integrators import direct as dl
         from .sceneio.paramset import ParamSet

@@ -330,6 +330,71 @@ def get_2d(cfg: SamplerConfig, state, dim: int):
     )
 
 
+def get_1d_dyn(cfg: SamplerConfig, state, dim):
+    """Sampler::Get1D at a PER-LANE traced dimension array (all values must
+    be >= 5: the pixel-remap dims 0-1 and camera dims are always consumed at
+    statically-known dims by the refill step).  Used by the wavefront
+    integrator, whose lane pool mixes bounces — and whose per-lane dim
+    cursors replicate pbrt's CONDITIONAL consumption (NEE dims skipped at
+    specular-only vertices, RR dim only when rrBeta < threshold), which the
+    static schedule in li_path cannot."""
+    dim = jnp.minimum(jnp.asarray(dim, jnp.int32), 1021)  # idle-lane clamp
+    if cfg.name == "sobol":
+        return ld.sobol_sample_float64idx_dyn(state["hi"], state["lo"], dim)
+    if cfg.name == "halton":
+        return ld.scrambled_radical_inverse_dyn(dim, state["index"])
+    if cfg.name == "random":
+        state["rng"], f = prng.next_float(state["rng"])
+        return f
+    if cfg.name == "stratified":
+        spp = max(cfg.spp, 1)
+        key = _hash_combine(state["pixel_key"], dim.astype(jnp.uint32))
+        j = _kensler_permute(state["s"], spp, key)
+        jit = _rand_float(_mix32(key ^ _mix32(state["s"] + jnp.uint32(0xABCD))))
+        return jnp.minimum(
+            (j.astype(jnp.float32) + jit) / spp, ld.ONE_MINUS_EPSILON
+        )
+    if cfg.name in ("zerotwosequence", "maxmin"):
+        scramble = _hash_combine(state["pixel_key"], dim.astype(jnp.uint32))
+        bits = ld.reverse_bits_32(state["s"]) ^ scramble
+        return _rand_float(bits)
+    raise ValueError(cfg.name)
+
+
+def get_2d_dyn(cfg: SamplerConfig, state, dim):
+    dim = jnp.asarray(dim, jnp.int32)
+    if cfg.name == "stratified":
+        spp = max(cfg.spp, 1)
+        xs, ys = _strat_xy(spp)
+        key = _hash_combine(
+            state["pixel_key"], dim.astype(jnp.uint32), jnp.uint32(77)
+        )
+        j = _kensler_permute(state["s"], xs * ys, key)
+        jx = (j % xs).astype(jnp.float32)
+        jy = (j // xs).astype(jnp.float32)
+        ux = _rand_float(_mix32(key ^ _mix32(state["s"] + jnp.uint32(0x1111))))
+        uy = _rand_float(_mix32(key ^ _mix32(state["s"] + jnp.uint32(0x2222))))
+        return jnp.stack(
+            [
+                jnp.minimum((jx + ux) / xs, ld.ONE_MINUS_EPSILON),
+                jnp.minimum((jy + uy) / ys, ld.ONE_MINUS_EPSILON),
+            ],
+            -1,
+        )
+    if cfg.name in ("zerotwosequence", "maxmin"):
+        tables = ld.sobol_tables()
+        c0 = jnp.asarray(np.ascontiguousarray(tables["sobol_matrices32"][0, :32]))
+        c1 = jnp.asarray(np.ascontiguousarray(tables["sobol_matrices32"][1, :32]))
+        s0 = _hash_combine(state["pixel_key"], dim.astype(jnp.uint32), jnp.uint32(1))
+        s1 = _hash_combine(state["pixel_key"], dim.astype(jnp.uint32), jnp.uint32(2))
+        x = ld.multiply_generator(c0, state["s"]) ^ s0
+        y = ld.multiply_generator(c1, state["s"]) ^ s1
+        return jnp.stack([_rand_float(x), _rand_float(y)], -1)
+    return jnp.stack(
+        [get_1d_dyn(cfg, state, dim), get_1d_dyn(cfg, state, dim + 1)], axis=-1
+    )
+
+
 def get_camera_sample(cfg: SamplerConfig, state, pixel_xy):
     """Sampler::GetCameraSample (sampler.cpp:46-52): dims 0-4.
 
