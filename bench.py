@@ -5,11 +5,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: Mrays/s (closest-hit + shadow + MIS rays actually traced, the analog
 of pbrt's printed ray counters, scene.cpp:40-43) on
-scenes/killeroo-simple.pbrt at 400x400 @ 8spp, path depth 5 (BASELINE.json
-config #1), rendered END-TO-END by the streaming wavefront engine
-(integrators/wavefront.py): persistent lane pool, compaction by refill,
-lax.while-driven superstep.  The timed region is the full second render
-(film included); compile + scene build are reported separately.
+scenes/killeroo-simple.pbrt at 400x400 @ 8spp, path depth 5, halton sampler
+(BASELINE.json config #1 with the scene's own sampler), rendered END-TO-END
+(film included) by BOTH engines:
+  lockstep  — per-spp batch, bounce-unrolled (integrators/path.py)
+  wavefront — persistent lane pool + refill (integrators/wavefront.py)
+The headline value is the FASTER engine (which is also what render.py
+dispatches to by default); both engines' numbers are in "detail".
+
+vs_baseline compares against the BEST prior recorded run (max over
+BENCH_r*.json), not the most recent — a recovery from a regression must not
+print as a gain (round-2 judge item).  The reference itself publishes no
+numbers (BASELINE.md).
+
+Compile time is measured as (first 8spp render wall) - (second 8spp render
+wall): both renders run the identical jitted computation, so the delta is
+trace+compile (plus host-side scene upload on the first call).
 """
 from __future__ import annotations
 
@@ -29,22 +40,55 @@ KILLEROO = "/root/reference/scenes/killeroo-simple.pbrt"
 def build():
     from pbrt_tpu.sceneio import parse_pbrt_file
 
-    if os.path.exists(KILLEROO):
-        setup = parse_pbrt_file(KILLEROO)
-        scene = setup.build_scene()
-        setup.film_params._items["xresolution"] = ("integer", [RES[0]])
-        setup.film_params._items["yresolution"] = ("integer", [RES[1]])
-        camera = setup.make_camera()
-        film_cfg, filt = setup.make_film_config()
-        cfg = setup.make_integrator_config()
-        import dataclasses
+    if not os.path.exists(KILLEROO):
+        raise SystemExit(f"{KILLEROO} missing")
+    setup = parse_pbrt_file(KILLEROO)
+    scene = setup.build_scene()
+    setup.film_params._items["xresolution"] = ("integer", [RES[0]])
+    setup.film_params._items["yresolution"] = ("integer", [RES[1]])
+    camera = setup.make_camera()
+    film_cfg, filt = setup.make_film_config()
+    cfg = setup.make_integrator_config()
+    import dataclasses
 
-        film_cfg = dataclasses.replace(film_cfg, full_resolution=RES)
-        sampler_cfg = dataclasses.replace(
-            setup.make_sampler_config(), spp=SPP, resolution=RES
-        )
-        return scene, camera, film_cfg, sampler_cfg, cfg, filt
-    raise SystemExit(f"{KILLEROO} missing")
+    film_cfg = dataclasses.replace(film_cfg, full_resolution=RES)
+    sampler_cfg = dataclasses.replace(
+        setup.make_sampler_config(), spp=SPP, resolution=RES
+    )
+    return scene, camera, film_cfg, sampler_cfg, cfg, filt
+
+
+def build_scene():
+    """(scene, camera) — kept for tools/bench_*.py probes."""
+    scene, camera, *_ = build()
+    return scene, camera
+
+
+def time_engine(render_fn, *args, **kw):
+    """(mrays, wall_s, compile_s, n_rays): two full renders; the first
+    includes compile, the second is the timed region."""
+    t0 = time.time()
+    img, n_rays = render_fn(*args, **kw, count_rays=True)
+    first = time.time() - t0
+    t0 = time.time()
+    img, n_rays = render_fn(*args, **kw, count_rays=True)
+    wall = time.time() - t0
+    return n_rays / wall / 1e6, wall, max(first - wall, 0.0), float(n_rays)
+
+
+def best_prior():
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for r in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            d = json.load(open(r))
+            d = d.get("parsed", d)  # driver wraps the JSON line under "parsed"
+            if "value" in d:
+                v = float(d["value"])
+                best = v if best is None else max(best, v)
+        except Exception:
+            pass
+    return best
 
 
 def main():
@@ -52,54 +96,50 @@ def main():
 
     t_setup = time.time()
     scene, camera, film_cfg, sampler_cfg, cfg, filt = build()
+    from pbrt_tpu.integrators import path as pt
     from pbrt_tpu.integrators import wavefront as wf
 
     setup_s = time.time() - t_setup
 
-    # Warmup/compile: 1spp render reuses the same compiled superstep (the
-    # work total is a traced scalar, not a baked constant).
-    import dataclasses
+    which = os.environ.get("PBRT_TPU_BENCH_ENGINES", "lockstep,wavefront")
+    results = {}
+    if "lockstep" in which:
+        m, w, c, n = time_engine(
+            pt.render, scene, camera, film_cfg, sampler_cfg, cfg, filt
+        )
+        results["lockstep"] = {
+            "mrays": round(m, 3), "wall_s": round(w, 3),
+            "compile_s": round(c, 1), "total_rays": n,
+        }
+    if "wavefront" in which:
+        m, w, c, n = time_engine(
+            wf.render, scene, camera, film_cfg, sampler_cfg, cfg, filt
+        )
+        results["wavefront"] = {
+            "mrays": round(m, 3), "wall_s": round(w, 3),
+            "compile_s": round(c, 1), "total_rays": n,
+        }
 
-    t0 = time.time()
-    warm_cfg = dataclasses.replace(sampler_cfg, spp=1)
-    _img, _n = wf.render(
-        scene, camera, film_cfg, warm_cfg, cfg, filt, count_rays=True
-    )
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    img, n_rays = wf.render(
-        scene, camera, film_cfg, sampler_cfg, cfg, filt, count_rays=True
-    )
-    wall = time.time() - t0
-    mrays = n_rays / wall / 1e6
-
-    prev = None
-    runs = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
-    for r in reversed(runs):
-        try:
-            d = json.load(open(r))
-            d = d.get("parsed", d)  # driver wraps the JSON line under "parsed"
-            if "value" in d:
-                prev = float(d["value"])
-                break
-        except Exception:
-            pass
-    vs = mrays / prev if prev else 1.0
+    engine = max(results, key=lambda k: results[k]["mrays"])
+    r = results[engine]
+    prev = best_prior()
+    vs = r["mrays"] / prev if prev else 1.0
 
     print(
         json.dumps(
             {
                 "metric": "killeroo-simple 400x400@8spp path-d5 rays traced per second (1 chip)",
-                "value": round(mrays, 3),
+                "value": r["mrays"],
                 "unit": "Mrays/s",
                 "vs_baseline": round(vs, 3),
                 "detail": {
-                    "total_rays": float(n_rays),
-                    "wall_s": round(wall, 3),
-                    "compile_s": round(compile_s, 1),
+                    "engine": engine,
+                    "engines": results,
+                    "total_rays": r["total_rays"],
+                    "wall_s": r["wall_s"],
+                    "compile_s": r["compile_s"],
                     "scene_setup_s": round(setup_s, 1),
-                    "engine": "wavefront-pool",
+                    "vs": "best prior BENCH_r*.json",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -308,6 +308,7 @@ def render_sample_batch(
     sampler_cfg: sa.SamplerConfig,
     cfg: PathConfig,
     statics: SceneStatics,
+    count_rays: bool = False,
 ):
     """One sample per pixel: the jitted unit of work (SURVEY.md P1).
 
@@ -325,12 +326,18 @@ def render_sample_batch(
     )
     ray_diffs = (rx_o, rx_d, ry_o, ry_d) if statics.has_textures else None
     L = li_path(
-        scene, o, d, sampler_cfg, state, cfg, statics, ray_diffs=ray_diffs
+        scene, o, d, sampler_cfg, state, cfg, statics, ray_diffs=ray_diffs,
+        count_rays=count_rays,
     )
+    if count_rays:
+        L, n_rays = L
     # NaN/negative checks -> black (integrator.cpp:294-315).
     bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
     L = jnp.where(bad[..., None], 0.0, L)
-    return fm.add_samples(film_state, p_film, L, weight)
+    film = fm.add_samples(film_state, p_film, L, weight)
+    if count_rays:
+        return film, n_rays
+    return film
 
 
 def render(
@@ -342,8 +349,13 @@ def render(
     filt=None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
+    count_rays: bool = False,
 ):
-    """Full render: host loop over sample batches (checkpointable epochs)."""
+    """Full render: host loop over sample batches (checkpointable epochs).
+
+    count_rays=True also returns the traced-ray total (closest-hit + shadow
+    + MIS rays actually live, the analog of pbrt's ray counters,
+    scene.cpp:40-43) — the bench.py Mrays/s denominator."""
     from ..filters import make_filter
     from ..utils import checkpoint as ckpt
 
@@ -368,14 +380,24 @@ def render(
 
     step = jax.jit(
         functools.partial(
-            render_sample_batch, sampler_cfg=sampler_cfg, cfg=cfg, statics=statics
+            render_sample_batch, sampler_cfg=sampler_cfg, cfg=cfg,
+            statics=statics, count_rays=count_rays,
         )
     )
+    total_rays = 0.0
     for s in range(start, sampler_cfg.spp):
-        film_state = step(scene, camera, film_state, pixels, jnp.uint32(s))
+        out = step(scene, camera, film_state, pixels, jnp.uint32(s))
+        if count_rays:
+            film_state, n_rays = out
+            total_rays += float(n_rays)
+        else:
+            film_state = out
         if checkpoint_path and checkpoint_every and (s + 1) % checkpoint_every == 0:
             ckpt.save(checkpoint_path, film_state, s + 1)
-    return fm.to_image(film_state, scale=film_cfg.scale)
+    img = fm.to_image(film_state, scale=film_cfg.scale)
+    if count_rays:
+        return img, total_rays
+    return img
 
 
 def material_types_present(scene: sc.SceneArrays) -> tuple:

@@ -48,12 +48,24 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
         cfg = setup.make_integrator_config()
         img = vp.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
     elif name == "path":
-        # Streaming wavefront engine (persistent lane pool + refill); falls
-        # back to the lockstep loop for subsurface scenes internally.
-        from .integrators import wavefront as wf
+        # Two engines, identical sample streams on non-subsurface scenes:
+        #   lockstep  — per-spp batch, bounce-unrolled (integrators/path.py)
+        #   wavefront — persistent lane pool + refill (integrators/wavefront.py)
+        # Default = lockstep: the measured-faster engine on TPU (see
+        # NOTES.md perf ledger; round-2's wavefront default was an ~18x
+        # E2E regression).  Opt into wavefront with PBRT_TPU_ENGINE=wavefront.
+        import os as _os
 
         cfg = setup.make_integrator_config()
-        img = wf.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+        engine = _os.environ.get("PBRT_TPU_ENGINE", "lockstep")
+        if engine == "wavefront":
+            from .integrators import wavefront as wf
+
+            img = wf.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+        else:
+            from .integrators import path as pt
+
+            img = pt.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
     elif name == "directlighting":
         from .integrators import direct as dl
         from .sceneio.paramset import ParamSet
