@@ -52,12 +52,19 @@ def main(argv=None):
             scene_path, out=args.outfile, spp=spp, res=args.res,
             crop=tuple(args.cropwindow) if args.cropwindow else None,
         )
-        mrays = stats["camera_rays"] / stats["wall_s"] / 1e6
+        n = stats.get("rays_traced", stats["camera_rays"])
+        mrays = n / stats["wall_s"] / 1e6
         print(
             f"{scene_path}: {stats['resolution'][0]}x{stats['resolution'][1]}"
             f" @ {stats['spp']}spp in {stats['wall_s']:.1f}s"
-            f" ({mrays:.2f} Mcam-rays/s)"
+            f" ({mrays:.2f} Mrays/s)"
         )
+        # pbrt prints its Statistics + Profile blocks after every render
+        # unless --quiet (stats.cpp:79-187, pbrt.cpp:161).
+        if not args.quiet:
+            if "report" in stats:
+                print(stats["report"])
+            print(stats["profile"])
     return 0
 
 

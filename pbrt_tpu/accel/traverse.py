@@ -345,6 +345,13 @@ def _use_kernel(scene) -> bool:
 
 def intersect_closest(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
     """Closest-hit query.  Returns (t [N], prim_id [N]; -1 = miss)."""
+    import jax as _jax
+
+    with _jax.named_scope("traverse/closest"):
+        return _intersect_closest(scene, o, d, t_max, quadric_types)
+
+
+def _intersect_closest(scene, o, d, t_max, quadric_types=()):
     if scene.kd_nodes is not None:
         from .kdtree import traverse_kd
 
@@ -363,6 +370,13 @@ def intersect_closest(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
 def intersect_any(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
     """Shadow-ray query with early-out (bvh.cpp:702 IntersectP).
     Returns occluded [N] bool."""
+    import jax as _jax
+
+    with _jax.named_scope("traverse/any"):
+        return _intersect_any(scene, o, d, t_max, quadric_types)
+
+
+def _intersect_any(scene, o, d, t_max, quadric_types=()):
     if scene.kd_nodes is not None:
         from .kdtree import traverse_kd
 
@@ -388,6 +402,13 @@ def hit_record(scene: sc.SceneArrays, o, d, t, prim_id, quadric_types=()):
     triangle.cpp:309-430): position, geometric/shading normal, uv, error
     bounds, material & area-light ids.
     """
+    import jax as _jax
+
+    with _jax.named_scope("shade/hit_record"):
+        return _hit_record(scene, o, d, t, prim_id, quadric_types)
+
+
+def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
     hit = prim_id >= 0
     pid = jnp.clip(prim_id, 0, scene.prim_type.shape[0] - 1)
     meta = scene.prim_meta[pid]  # ONE [P,4] row gather

@@ -66,11 +66,15 @@ def li_path(
     start_dim: int = 5,
     count_rays: bool = False,
     ray_diffs=None,
+    stats_out: bool = False,
 ):
     """Radiance along a batch of camera rays.  Returns L [N,3]
     (or (L, n_rays_traced) when count_rays — the Mrays/s denominator:
     closest-hit + shadow + MIS rays actually live per bounce, the analog of
-    pbrt's ray-count stats, scene.cpp:40-43)."""
+    pbrt's ray-count stats, scene.cpp:40-43; or (L, counters) when stats_out
+    — the full stats vector, utils/stats.py)."""
+    from ..utils import stats as st
+
     quadric_types = statics.quadric_types
     light_types = statics.light_types
     mat_types = statics.mat_types
@@ -81,7 +85,8 @@ def li_path(
     specular_bounce = jnp.zeros((n,), bool)
     eta_scale = jnp.ones((n,), jnp.float32)
     dim = start_dim
-    n_rays = jnp.zeros((), jnp.float32)
+    counters = st.zeros()
+    counters = st.bump(counters, "Integrator/Camera rays traced", float(n))
 
     # Camera-ray closest hit; every later bounce's extension ray is traced
     # inside the SAME kernel launch as that bounce's shadow + MIS rays
@@ -91,9 +96,12 @@ def li_path(
     # when subsurface lanes can't relocate the exit point afterwards.
     merge_next = sc.MAT_SUBSURFACE not in mat_types
     for bounce in range(cfg.max_depth + 1):
-        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
+        counters = st.bump(
+            counters, "Intersections/Regular ray intersection tests", alive
+        )
         rec = tv.hit_record(scene, o, d, t, prim, quadric_types)
         found = rec["hit"] & alive
+        counters = st.bump(counters, "Integrator/Path vertices", found)
 
         # Emitted radiance at path vertex (path.cpp:91-101): only for camera
         # rays and rays leaving a specular bounce (others were MIS-counted).
@@ -132,7 +140,11 @@ def li_path(
         u_light = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
         u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim + 3)
         dim += 5
-        n_rays = n_rays + 2.0 * jnp.sum(has_bsdf.astype(jnp.float32))
+        counters = st.bump(
+            counters, "Intersections/Shadow ray intersection tests",
+            2.0 * jnp.sum(has_bsdf.astype(jnp.float32)),
+        )
+        counters = st.bump(counters, "Lights/Light samples taken", has_bsdf)
         pick = None
         if cfg.light_strategy == "spatial" and scene.spatial_cdf is not None:
             from ..lights import lightdistrib as ldist
@@ -206,9 +218,13 @@ def li_path(
                 n_probe=cfg.ss_probe_depth,
             )
             ok = do_ss & spr["ok"]
-            n_rays = n_rays + (
-                cfg.ss_probe_depth * jnp.sum(do_ss.astype(jnp.float32))
-                + 2.0 * jnp.sum(ok.astype(jnp.float32))
+            counters = st.bump(
+                counters, "Intersections/BSSRDF probe rays",
+                cfg.ss_probe_depth * jnp.sum(do_ss.astype(jnp.float32)),
+            )
+            counters = st.bump(
+                counters, "Intersections/Shadow ray intersection tests",
+                2.0 * jnp.sum(ok.astype(jnp.float32)),
             )
             beta = jnp.where(
                 ok[..., None],
@@ -273,6 +289,10 @@ def li_path(
             q = jnp.maximum(0.05, 1.0 - rr_beta_max)
             do_rr = rr_beta_max < cfg.rr_threshold
             die = do_rr & (u_rr < q)
+            counters = st.bump(
+                counters, "Integrator/Russian-roulette terminations",
+                die & alive,
+            )
             alive = alive & ~die
             beta = jnp.where(
                 (do_rr & ~die)[..., None],
@@ -287,8 +307,10 @@ def li_path(
         else:
             t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
 
+    if stats_out:
+        return L, counters
     if count_rays:
-        return L, n_rays
+        return L, st.ray_total(counters)
     return L
 
 
@@ -309,11 +331,14 @@ def render_sample_batch(
     cfg: PathConfig,
     statics: SceneStatics,
     count_rays: bool = False,
+    stats_out: bool = False,
 ):
     """One sample per pixel: the jitted unit of work (SURVEY.md P1).
 
     pixels: [N,2] int32; sample_num: scalar int32.
     """
+    from ..utils import stats as st
+
     n = pixels.shape[0]
     state = sa.init_state(
         sampler_cfg, pixels, jnp.full((n,), sample_num, jnp.uint32)
@@ -325,18 +350,19 @@ def render_sample_batch(
         camera, p_film, p_lens, time_u, spp=sampler_cfg.spp
     )
     ray_diffs = (rx_o, rx_d, ry_o, ry_d) if statics.has_textures else None
-    L = li_path(
+    L, counters = li_path(
         scene, o, d, sampler_cfg, state, cfg, statics, ray_diffs=ray_diffs,
-        count_rays=count_rays,
+        stats_out=True,
     )
-    if count_rays:
-        L, n_rays = L
     # NaN/negative checks -> black (integrator.cpp:294-315).
     bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
     L = jnp.where(bad[..., None], 0.0, L)
     film = fm.add_samples(film_state, p_film, L, weight)
+    counters = st.bump(counters, "Film/Samples added", float(n))
+    if stats_out:
+        return film, counters
     if count_rays:
-        return film, n_rays
+        return film, st.ray_total(counters)
     return film
 
 
@@ -350,14 +376,19 @@ def render(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     count_rays: bool = False,
+    stats_out: bool = False,
+    progress=None,
 ):
     """Full render: host loop over sample batches (checkpointable epochs).
 
     count_rays=True also returns the traced-ray total (closest-hit + shadow
     + MIS rays actually live, the analog of pbrt's ray counters,
-    scene.cpp:40-43) — the bench.py Mrays/s denominator."""
+    scene.cpp:40-43) — the bench.py Mrays/s denominator.  stats_out=True
+    returns (img, counters) with the full stats vector (utils/stats.py).
+    progress: optional ProgressReporter updated once per spp batch."""
     from ..filters import make_filter
     from ..utils import checkpoint as ckpt
+    from ..utils import stats as st
 
     filt = filt or make_filter(film_cfg.filter_name)
     film_state = fm.make_film_state(film_cfg, filt)
@@ -378,25 +409,30 @@ def render(
     if checkpoint_path:
         film_state, start = ckpt.maybe_resume(checkpoint_path, film_state)
 
+    want_aux = count_rays or stats_out
     step = jax.jit(
         functools.partial(
             render_sample_batch, sampler_cfg=sampler_cfg, cfg=cfg,
-            statics=statics, count_rays=count_rays,
+            statics=statics, stats_out=want_aux,
         )
     )
-    total_rays = 0.0
+    counters = st.zeros()
     for s in range(start, sampler_cfg.spp):
         out = step(scene, camera, film_state, pixels, jnp.uint32(s))
-        if count_rays:
-            film_state, n_rays = out
-            total_rays += float(n_rays)
+        if want_aux:
+            film_state, batch_counters = out
+            counters = counters + batch_counters
         else:
             film_state = out
+        if progress is not None:
+            progress.update(s + 1 - start)
         if checkpoint_path and checkpoint_every and (s + 1) % checkpoint_every == 0:
             ckpt.save(checkpoint_path, film_state, s + 1)
     img = fm.to_image(film_state, scale=film_cfg.scale)
+    if stats_out:
+        return img, counters
     if count_rays:
-        return img, total_rays
+        return img, float(st.ray_total(counters))
     return img
 
 

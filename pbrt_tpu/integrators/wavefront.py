@@ -44,6 +44,7 @@ from ..samplers import samplers as sa
 from ..statics import SceneStatics, scene_statics
 from .. import film as fm
 from .. import scene as sc
+from ..utils import stats as st
 from . import common
 from .path import PathConfig, eval_scene_textures, make_pixel_grid
 
@@ -115,8 +116,10 @@ def _iteration(state, scene, camera, sampler_cfg, cfg, statics, pixels):
     L, beta = state["L"], state["beta"]
     bounce, dim = state["bounce"], state["dim"]
 
+    counters = state["counters"]
     rec = tv.hit_record(scene, o, d, state["t"], state["prim"], quadric_types)
     found = rec["hit"] & alive
+    counters = st.bump(counters, "Integrator/Path vertices", found)
 
     # Le at the vertex / escaped radiance (path.cpp:91-108).
     count_le = (bounce == 0) | state["specular"]
@@ -178,7 +181,11 @@ def _iteration(state, scene, camera, sampler_cfg, cfg, statics, pixels):
         nonspec, mat_types, light_types, quadric_types, pick=pick,
     )
     L = L + jnp.where(nonspec[..., None], beta * ld, 0.0)
-    n_rays = state["n_rays"] + 2.0 * jnp.sum(nonspec.astype(jnp.float32))
+    counters = st.bump(
+        counters, "Intersections/Shadow ray intersection tests",
+        2.0 * jnp.sum(nonspec.astype(jnp.float32)),
+    )
+    counters = st.bump(counters, "Lights/Light samples taken", nonspec)
 
     # ---- path continuation ----
     contrib = (
@@ -199,6 +206,9 @@ def _iteration(state, scene, camera, sampler_cfg, cfg, statics, pixels):
     do_rr = (bounce > 3) & (rr_beta_max < cfg.rr_threshold) & alive
     q = jnp.maximum(0.05, 1.0 - rr_beta_max)
     die = do_rr & (u_rr < q)
+    counters = st.bump(
+        counters, "Integrator/Russian-roulette terminations", die
+    )
     alive = alive & ~die
     beta = jnp.where(
         (do_rr & ~die)[..., None], beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta
@@ -212,6 +222,7 @@ def _iteration(state, scene, camera, sampler_cfg, cfg, statics, pixels):
     film = fm.add_samples(
         state["film"], state["p_film"], L_out, state["cam_w"], mask=finished
     )
+    counters = st.bump(counters, "Film/Samples added", finished)
 
     new_state = dict(
         state,
@@ -225,7 +236,7 @@ def _iteration(state, scene, camera, sampler_cfg, cfg, statics, pixels):
         dim=dim,
         o=jnp.where(alive[..., None], o_next, o),
         d=jnp.where(alive[..., None], wi_world, d),
-        n_rays=n_rays,
+        counters=counters,
     )
 
     # ---- refill + launch B (extension + fresh camera rays) ----
@@ -240,7 +251,10 @@ def _iteration(state, scene, camera, sampler_cfg, cfg, statics, pixels):
     )
     new_state["t"] = t
     new_state["prim"] = jnp.where(trace, prim, -1)
-    new_state["n_rays"] = new_state["n_rays"] + jnp.sum(trace.astype(jnp.float32))
+    c = new_state["counters"]
+    c = st.bump(c, "Intersections/Regular ray intersection tests", trace)
+    c = st.bump(c, "Integrator/Camera rays traced", new_state["fresh"])
+    new_state["counters"] = c
     del new_state["fresh"]
     return new_state
 
@@ -267,7 +281,7 @@ def _initial_state(scene, camera, film_state, sampler_cfg, statics, pixels, tota
         "sampler": sa.init_state(sampler_cfg, dummy_pix, jnp.zeros((n,), jnp.uint32)),
         "next_work": jnp.zeros((), jnp.int32) + jnp.asarray(start, jnp.int32),
         "total": jnp.asarray(total, jnp.int32),
-        "n_rays": jnp.zeros((), jnp.float32),
+        "counters": st.zeros(),
     }
     if statics.has_textures:
         state.update(rx_o=z3, rx_d=z3, ry_o=z3, ry_d=z3)
@@ -280,7 +294,10 @@ def _initial_state(scene, camera, film_state, sampler_cfg, statics, pixels, tota
     )
     state["t"] = t
     state["prim"] = jnp.where(trace, prim, -1)
-    state["n_rays"] = state["n_rays"] + jnp.sum(trace.astype(jnp.float32))
+    c = state["counters"]
+    c = st.bump(c, "Intersections/Regular ray intersection tests", trace)
+    c = st.bump(c, "Integrator/Camera rays traced", state["fresh"])
+    state["counters"] = c
     del state["fresh"]
     return state
 
@@ -295,9 +312,22 @@ def render(
     n_lanes: int = 1 << 17,
     iters_per_step: int = 8,
     count_rays: bool = False,
+    stats_out: bool = False,
+    progress=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
 ):
-    """Full wavefront render.  Returns the image (plus stats when count_rays)."""
+    """Full wavefront render.  Returns the image (plus stats when count_rays
+    or stats_out).
+
+    checkpoint_path/_every: the loop state dict (film + lane pool + work
+    counter) IS the complete render state, so a checkpoint is one pytree
+    snapshot every `checkpoint_every` supersteps; resume reloads it and
+    continues the host loop (utils/checkpoint.py save_state/load_state).
+    progress: optional ProgressReporter; work units are (pixel, sample)
+    paths retired (next_work minus in-flight lanes)."""
     from ..filters import make_filter
+    from ..utils import checkpoint as ckpt
 
     filt = filt or make_filter(film_cfg.filter_name)
     film_state = fm.make_film_state(film_cfg, filt)
@@ -306,7 +336,9 @@ def render(
     if sc.MAT_SUBSURFACE in statics.mat_types:
         from . import path as pt
 
-        return pt.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+        return pt.render(scene, camera, film_cfg, sampler_cfg, cfg, filt,
+                         count_rays=count_rays, stats_out=stats_out,
+                         progress=progress)
     if cfg.light_strategy == "spatial":
         from ..lights.lightdistrib import ensure_spatial_light_distribution
 
@@ -335,16 +367,25 @@ def render(
         )
     )
     state = init(scene, camera, film_state, pixels=pixels)
+    if checkpoint_path:
+        state = ckpt.maybe_resume_state(checkpoint_path, state)
+    steps = 0
     while True:
         state = superstep(scene, camera, state, k=iters_per_step)
-        done = int(state["next_work"]) >= total and not bool(
-            jnp.any(state["alive"])
-        )
-        if done:
+        steps += 1
+        nw = int(state["next_work"])
+        alive_n = int(jnp.sum(state["alive"]))
+        if progress is not None:
+            progress.update(max(nw - alive_n, 0))
+        if checkpoint_path and checkpoint_every and steps % checkpoint_every == 0:
+            ckpt.save_state(checkpoint_path, state)
+        if nw >= total and alive_n == 0:
             break
     img = fm.to_image(state["film"], scale=film_cfg.scale)
+    if stats_out:
+        return img, state["counters"]
     if count_rays:
-        return img, float(state["n_rays"])
+        return img, float(st.ray_total(state["counters"]))
     return img
 
 
@@ -398,14 +439,14 @@ def render_sharded(
         """Per-shard scalars/film get a leading length-1 axis for shard_map."""
         out = dict(st)
         out["film"] = jax.tree_util.tree_map(lambda x: x[None], st["film"])
-        for k in ("next_work", "total", "n_rays"):
+        for k in ("next_work", "total", "counters"):
             out[k] = st[k][None]
         return out
 
     def _unwrap(st):
         out = dict(st)
         out["film"] = jax.tree_util.tree_map(lambda x: x[0], st["film"])
-        for k in ("next_work", "total", "n_rays"):
+        for k in ("next_work", "total", "counters"):
             out[k] = st[k][0]
         return out
 
@@ -471,5 +512,5 @@ def render_sharded(
     )
     img = fm.to_image(film, scale=film_cfg.scale)
     if count_rays:
-        return img, float(jnp.sum(state["n_rays"]))
+        return img, float(st.ray_total(jnp.sum(state["counters"], axis=0)))
     return img

@@ -17,8 +17,17 @@ log = logging.getLogger("pbrt_tpu")
 
 def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
                  crop=None):
-    """Build the scene + run the configured integrator.  Returns (img, stats)."""
-    scene = setup.build_scene()
+    """Build the scene + run the configured integrator.  Returns (img, stats).
+
+    stats carries wall_s/resolution/spp always; for the path engines also
+    "counters" (device stats vector), "report" (pbrt-style Statistics block,
+    stats.cpp:79-187) and "profile" (coarse host phase table)."""
+    from .utils.profiling import Timer
+    from .utils.progress import ProgressReporter
+
+    timer = Timer()
+    with timer("Scene construction"):
+        scene = setup.build_scene()
     film_cfg, filt = setup.make_film_config()
     sampler_cfg = setup.make_sampler_config()
     if crop is not None:
@@ -41,6 +50,7 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
 
     camera = setup.make_camera()
     name = setup.integrator_name
+    counters = None
     t0 = time.time()
     if name == "volpath":
         from .integrators import volpath as vp
@@ -58,14 +68,26 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
 
         cfg = setup.make_integrator_config()
         engine = _os.environ.get("PBRT_TPU_ENGINE", "lockstep")
+        w, h = film_cfg.full_resolution
         if engine == "wavefront":
             from .integrators import wavefront as wf
 
-            img = wf.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+            prog = ProgressReporter(w * h * sampler_cfg.spp, "Rendering")
+            with timer("Rendering"):
+                img, counters = wf.render(
+                    scene, camera, film_cfg, sampler_cfg, cfg, filt,
+                    stats_out=True, progress=prog,
+                )
         else:
             from .integrators import path as pt
 
-            img = pt.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
+            prog = ProgressReporter(sampler_cfg.spp, "Rendering")
+            with timer("Rendering"):
+                img, counters = pt.render(
+                    scene, camera, film_cfg, sampler_cfg, cfg, filt,
+                    stats_out=True, progress=prog,
+                )
+        prog.finish()
     elif name == "directlighting":
         from .integrators import direct as dl
         from .sceneio.paramset import ParamSet
@@ -139,7 +161,14 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
         "camera_rays": n_rays,
         "spp": sampler_cfg.spp,
         "resolution": film_cfg.full_resolution,
+        "profile": timer.report(),
     }
+    if counters is not None:
+        from .utils import stats as st
+
+        stats["counters"] = np.asarray(counters)
+        stats["report"] = st.report(counters)
+        stats["rays_traced"] = float(st.ray_total(stats["counters"]))
     return img, stats
 
 

@@ -20,17 +20,32 @@ COUNTERS = [
     "Integrator/Camera rays traced",
     "Intersections/Regular ray intersection tests",
     "Intersections/Shadow ray intersection tests",
+    "Intersections/BSSRDF probe rays",
     "Integrator/Path vertices",
     "Integrator/Russian-roulette terminations",
     "Lights/Light samples taken",
-    "Film/Samples splatted",
+    "Film/Samples added",
 ]
 _IDX = {name: i for i, name in enumerate(COUNTERS)}
 N_COUNTERS = len(COUNTERS)
 
+# The bench.py Mrays/s denominator: every ray handed to a traversal kernel
+# (closest-hit + shadow/MIS + BSSRDF probes) — scene.cpp:40-43's
+# nIntersectionTests + nShadowTests.
+_RAY_IDS = [
+    _IDX["Intersections/Regular ray intersection tests"],
+    _IDX["Intersections/Shadow ray intersection tests"],
+    _IDX["Intersections/BSSRDF probe rays"],
+]
+
 
 def zeros():
-    return jnp.zeros((N_COUNTERS,), jnp.float64 if False else jnp.float32)
+    return jnp.zeros((N_COUNTERS,), jnp.float32)
+
+
+def ray_total(counters):
+    """Scalar traced-ray count (the throughput denominator)."""
+    return counters[_RAY_IDS[0]] + counters[_RAY_IDS[1]] + counters[_RAY_IDS[2]]
 
 
 def bump(counters, name: str, amount):
