@@ -101,7 +101,7 @@ def main():
 
     setup_s = time.time() - t_setup
 
-    which = os.environ.get("PBRT_TPU_BENCH_ENGINES", "lockstep,wavefront")
+    which = os.environ.get("PBRT_TPU_BENCH_ENGINES", "lockstep,wavefront,grad")
     results = {}
     if "lockstep" in which:
         m, w, c, n = time_engine(
@@ -120,7 +120,21 @@ def main():
             "compile_s": round(c, 1), "total_rays": n,
         }
 
-    engine = max(results, key=lambda k: results[k]["mrays"])
+    # ---- fwd+bwd (the north star's headline: Mrays/s/chip fwd+bwd) ----
+    # One differentiable sample batch over the full 400x400 pixel grid with
+    # per-bounce path-replay remat (parallel/diff.py), params = materials
+    # (kd/ks/roughness) + light L + camera.  Rays counted = the forward rays
+    # of one spp batch (from the lockstep engine's counters).
+    if "grad" in which:
+        try:
+            _bench_grad(scene, camera, film_cfg, sampler_cfg, cfg, results)
+        except Exception as e:  # never sink the headline bench
+            results["grad"] = {"error": repr(e)[:200]}
+
+    engine = max(
+        (k for k in results if k in ("lockstep", "wavefront")),
+        key=lambda k: results[k]["mrays"],
+    )
     r = results[engine]
     prev = best_prior()
     vs = r["mrays"] / prev if prev else 1.0
@@ -145,6 +159,55 @@ def main():
             }
         )
     )
+
+
+def _bench_grad(scene, camera, film_cfg, sampler_cfg, cfg, results):
+    """fwd+bwd Mrays/s: one differentiable sample batch (full 400x400 pixel
+    grid) with per-bounce path-replay remat (parallel/diff.py); params =
+    materials (kd/ks/roughness) + light L + camera.  Rays counted = the
+    forward rays of one spp batch (from the lockstep engine's counters)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from pbrt_tpu.parallel.diff import render_grad_step
+    from pbrt_tpu.integrators.path import make_pixel_grid
+    from pbrt_tpu.statics import scene_statics
+    from pbrt_tpu.lights.lightdistrib import ensure_spatial_light_distribution
+
+    statics = scene_statics(scene)
+    gscene = scene
+    if cfg.light_strategy == "spatial":
+        gscene = ensure_spatial_light_distribution(gscene, statics.light_types)
+    gscene = jax.device_put(gscene)
+    gcamera = jax.device_put(camera)
+    pixels = jnp.asarray(make_pixel_grid(film_cfg))
+    w = jnp.ones((pixels.shape[0], 3), jnp.float32)
+    step = jax.jit(
+        functools.partial(
+            render_grad_step, sampler_cfg=sampler_cfg, path_cfg=cfg,
+            statics=statics,
+        )
+    )
+    t0 = time.time()
+    out = step(gscene, gcamera, pixels, jnp.uint32(0), w)
+    jax.block_until_ready(out)
+    gfirst = time.time() - t0
+    t0 = time.time()
+    out = step(gscene, gcamera, pixels, jnp.uint32(1), w)
+    jax.block_until_ready(out)
+    gwall = time.time() - t0
+    rays_per_spp = None
+    if "lockstep" in results:
+        rays_per_spp = results["lockstep"]["total_rays"] / SPP
+    results["grad"] = {
+        "mrays_fwd_bwd": (
+            round(rays_per_spp / gwall / 1e6, 3) if rays_per_spp else None
+        ),
+        "wall_s": round(gwall, 3),
+        "compile_s": round(max(gfirst - gwall, 0.0), 1),
+        "params": "kd/ks/roughness/light_L/camera",
+    }
 
 
 if __name__ == "__main__":

@@ -90,6 +90,33 @@ def make_perspective_camera(
     )
 
 
+def perspective_raster_to_camera(fov_deg, resolution, screen=None,
+                                 znear=1e-2, zfar=1000.0):
+    """raster->camera matrix as a *differentiable* function of fov
+    (transform.cpp:238 Perspective composed with the ProjectiveCamera ctor
+    plumbing) — jnp ops only, so jax.grad flows through fov_deg.  Use with
+    `cam.replace(raster_to_camera=...)` to make field-of-view a trainable
+    camera parameter (north star: pixel gradients w.r.t. the camera)."""
+    aspect = resolution[0] / resolution[1]
+    scr = _screen_window(aspect, screen)
+    r2s = np.asarray(_raster_to_screen(resolution, scr).m, np.float32)
+    persp = jnp.asarray(
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, zfar / (zfar - znear), -zfar * znear / (zfar - znear)],
+            [0.0, 0.0, 1.0, 0.0],
+        ],
+        jnp.float32,
+    )
+    inv_tan = 1.0 / jnp.tan(jnp.radians(fov_deg) / 2.0)
+    s = jnp.diag(jnp.stack([inv_tan, inv_tan,
+                            jnp.float32(1.0), jnp.float32(1.0)]))
+    cam_to_screen = s @ persp
+    # raster_to_camera = (cam_to_screen)^-1 @ raster_to_screen.
+    return jnp.linalg.inv(cam_to_screen) @ r2s
+
+
 def make_orthographic_camera(
     camera_to_world: tf.Transform,
     resolution,

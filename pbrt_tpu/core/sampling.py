@@ -107,11 +107,20 @@ def balance_heuristic(nf, f_pdf, ng, g_pdf):
 
 
 def power_heuristic(nf, f_pdf, ng, g_pdf):
+    # Double-where: inf pdfs (delta-adjacent lanes) must not reach the
+    # division, or their infinite partials poison the backward pass (a
+    # 0-cotangent times inf is NaN).
     f = nf * f_pdf
     g = ng * g_pdf
-    return jnp.where(
-        jnp.isinf(f * f), 1.0, (f * f) / jnp.maximum(f * f + g * g, 1e-30)
-    )
+    f_inf = jnp.isinf(f * f)
+    g_inf = jnp.isinf(g * g)
+    fs = jnp.where(f_inf | g_inf, 1.0, f)
+    gs = jnp.where(f_inf | g_inf, 1.0, g)
+    # Epsilon 1e-18, not 1e-30: the division's backward squares the
+    # denominator, and (1e-30)^2 underflows f32 to 0 -> 0/0 NaN adjoints.
+    w = (fs * fs) / jnp.maximum(fs * fs + gs * gs, 1e-18)
+    w = jnp.where(g_inf & ~f_inf, 0.0, w)  # finite^2 / inf == 0
+    return jnp.where(f_inf, 1.0, w)
 
 
 # ---------------------------------------------------------------------------

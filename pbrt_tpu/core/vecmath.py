@@ -8,6 +8,7 @@ straight onto the VPU.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Machine epsilon /2, as pbrt's MachineEpsilon (core/pbrt.h float variant).
@@ -164,16 +165,29 @@ def sin2_theta(w):
     return jnp.maximum(0.0, 1.0 - cos2_theta(w))
 
 
+def _safe_sqrt(x):
+    """sqrt with a zero (not inf) gradient at x<=0 — double-where so masked
+    lanes can't poison the backward pass (sqrt'(0) = inf otherwise)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    return _safe_sqrt(sin2_theta(w))
 
 
 def tan_theta(w):
-    return sin_theta(w) / w[..., 2]
+    # Grad-safe at grazing: z == 0 lanes return a *constant* inf (consumers
+    # mask on isfinite), so no infinite partial leaks into the backward pass.
+    z = w[..., 2]
+    bad = z == 0.0
+    return jnp.where(bad, jnp.inf, sin_theta(w) / jnp.where(bad, 1.0, z))
 
 
 def tan2_theta(w):
-    return sin2_theta(w) / cos2_theta(w)
+    c2 = cos2_theta(w)
+    bad = c2 == 0.0
+    return jnp.where(bad, jnp.inf, sin2_theta(w) / jnp.where(bad, 1.0, c2))
 
 
 def cos_phi(w):
@@ -210,6 +224,26 @@ def refract(wi, n, eta):
     return ok, wt
 
 
+@jax.custom_jvp
+def _nudge_away(po, offset):
+    """Round the offset point one ulp away from the surface
+    (geometry.h:1450-1457), conservatively emulated with nextafter.
+    Identity-derivative custom_jvp: the one-ulp nudge is d(po)/d(po)=1 for
+    AD purposes (nextafter itself has no JAX differentiation rule)."""
+    return jnp.where(
+        offset > 0.0,
+        jnp.nextafter(po, jnp.inf),
+        jnp.where(offset < 0.0, jnp.nextafter(po, -jnp.inf), po),
+    )
+
+
+@_nudge_away.defjvp
+def _nudge_away_jvp(primals, tangents):
+    po, offset = primals
+    dpo, _ = tangents
+    return _nudge_away(po, offset), dpo
+
+
 def offset_ray_origin(p, p_error, n, w):
     """Robust ray-origin offset along the normal (geometry.h:1440 OffsetRayOrigin).
 
@@ -220,11 +254,4 @@ def offset_ray_origin(p, p_error, n, w):
     offset = d[..., None] * n
     offset = jnp.where(dot(w, n)[..., None] < 0.0, -offset, offset)
     po = p + offset
-    # Round offset point away from p (geometry.h:1450-1457), conservatively
-    # emulated with nextafter in the offset direction.
-    po = jnp.where(
-        offset > 0.0,
-        jnp.nextafter(po, jnp.inf),
-        jnp.where(offset < 0.0, jnp.nextafter(po, -jnp.inf), po),
-    )
-    return po
+    return _nudge_away(po, offset)

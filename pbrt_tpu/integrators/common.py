@@ -149,9 +149,13 @@ def estimate_direct(
     li = jnp.where((usable & ~occ)[..., None], s["li"], 0.0)
     if trv is not None:
         li = li * trv
+    # Sanitized pdf on unusable lanes: a 0-pdf denominator would feed ~1e20
+    # ratios into the backward pass (overflow -> NaN adjoints); the lanes are
+    # masked out of the forward value either way.
+    pdf_l = jnp.where(usable, s["pdf"], 1.0)
     ld = ld + jnp.where(
         usable[..., None],
-        f * li * (weight / jnp.maximum(s["pdf"], 1e-20))[..., None],
+        f * li * (weight / jnp.maximum(pdf_l, 1e-20))[..., None],
         0.0,
     )
 
@@ -170,9 +174,10 @@ def estimate_direct(
     if trv2 is not None:
         li2 = li2 * trv2
 
+    pdf_b = jnp.where(do_bsdf, bs["pdf"], 1.0)
     ld = ld + jnp.where(
         do_bsdf[..., None],
-        f2 * li2 * (weight2 / jnp.maximum(bs["pdf"], 1e-20))[..., None],
+        f2 * li2 * (weight2 / jnp.maximum(pdf_b, 1e-20))[..., None],
         0.0,
     )
     if extra_ray is not None:

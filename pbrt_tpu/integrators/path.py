@@ -67,12 +67,19 @@ def li_path(
     count_rays: bool = False,
     ray_diffs=None,
     stats_out: bool = False,
+    remat: bool = False,
 ):
     """Radiance along a batch of camera rays.  Returns L [N,3]
     (or (L, n_rays_traced) when count_rays — the Mrays/s denominator:
     closest-hit + shadow + MIS rays actually live per bounce, the analog of
     pbrt's ray-count stats, scene.cpp:40-43; or (L, counters) when stats_out
-    — the full stats vector, utils/stats.py)."""
+    — the full stats vector, utils/stats.py).
+
+    remat=True wraps each bounce in jax.checkpoint: the backward pass
+    re-traces ("replays") each bounce from its carry state instead of holding
+    every bounce's activations live — O(1)-in-depth backward memory, the
+    path-replay structure the differentiable renderer (parallel/diff.py)
+    needs for killeroo-scale gradients."""
     from ..utils import stats as st
 
     quadric_types = statics.quadric_types
@@ -84,7 +91,6 @@ def li_path(
     alive = jnp.ones((n,), bool)
     specular_bounce = jnp.zeros((n,), bool)
     eta_scale = jnp.ones((n,), jnp.float32)
-    dim = start_dim
     counters = st.zeros()
     counters = st.bump(counters, "Integrator/Camera rays traced", float(n))
 
@@ -95,7 +101,56 @@ def li_path(
     # The bounce loop can fold the extension ray into the NEE launch only
     # when subsurface lanes can't relocate the exit point afterwards.
     merge_next = sc.MAT_SUBSURFACE not in mat_types
+
+    carry = (L, beta, alive, specular_bounce, eta_scale, o, d, t, prim,
+             counters)
+    dim = start_dim
     for bounce in range(cfg.max_depth + 1):
+        body = _make_bounce_body(
+            bounce, dim, sampler_cfg, sampler_state, cfg, statics,
+            merge_next, ray_diffs,
+        )
+        if remat and bounce < cfg.max_depth:
+            body = jax.checkpoint(body)
+        carry = body(scene, carry)
+        dim += _dims_per_bounce(bounce, mat_types)
+
+    L, counters = carry[0], carry[9]
+    if stats_out:
+        return L, counters
+    if count_rays:
+        return L, st.ray_total(counters)
+    return L
+
+
+def _dims_per_bounce(bounce: int, mat_types) -> int:
+    """Static sampler-dimension consumption of bounce `bounce` (docstring
+    schedule): 5 NEE + 2 bsdf dims, +10 subsurface, +1 RR after bounce 3."""
+    dims = 7
+    if sc.MAT_SUBSURFACE in mat_types:
+        dims += 10
+    if bounce > 3:
+        dims += 1
+    return dims
+
+
+def _make_bounce_body(
+    bounce, dim, sampler_cfg, sampler_state, cfg, statics, merge_next,
+    ray_diffs,
+):
+    """One bounce of the path walk as a pure carry->carry function, so the
+    unrolled loop can wrap it in jax.checkpoint (path-replay backward)."""
+    from ..utils import stats as st
+
+    quadric_types = statics.quadric_types
+    light_types = statics.light_types
+    mat_types = statics.mat_types
+    last = bounce >= cfg.max_depth
+
+    def body(scene, carry):
+        (L, beta, alive, specular_bounce, eta_scale, o, d, t, prim,
+         counters) = carry
+        dim_b = dim
         counters = st.bump(
             counters, "Intersections/Regular ray intersection tests", alive
         )
@@ -118,8 +173,9 @@ def li_path(
         )
 
         alive = found
-        if bounce >= cfg.max_depth:
-            break
+        if last:
+            return (L, beta, alive, specular_bounce, eta_scale, o, d, t,
+                    prim, counters)
 
         # ---- shading setup ----
         # Camera rays carry differentials (bounce 0 only: pbrt's scattered
@@ -136,10 +192,10 @@ def li_path(
         has_bsdf = alive & (rec["material"] >= 0)
 
         # ---- NEE (dims +0..+4) ----
-        u_select = sa.get_1d(sampler_cfg, sampler_state, dim)
-        u_light = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
-        u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim + 3)
-        dim += 5
+        u_select = sa.get_1d(sampler_cfg, sampler_state, dim_b)
+        u_light = sa.get_2d(sampler_cfg, sampler_state, dim_b + 1)
+        u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim_b + 3)
+        dim_b += 5
         counters = st.bump(
             counters, "Intersections/Shadow ray intersection tests",
             2.0 * jnp.sum(has_bsdf.astype(jnp.float32)),
@@ -157,7 +213,7 @@ def li_path(
         # ---- BSDF sampling for the next bounce (dims +5,+6; drawn before
         # the NEE call so the extension ray can ride its kernel launch —
         # dim INDICES are unchanged, so the sample stream is identical) ----
-        u_bsdf = sa.get_2d(sampler_cfg, sampler_state, dim)
+        u_bsdf = sa.get_2d(sampler_cfg, sampler_state, dim_b)
         bs = bx.sample_material(mat, wo_local, u_bsdf, mat_types)
         wi_world = bx.to_world(ss, ts, ns, bs["wi"])
         o_next = offset_ray_origin(rec["p"], rec["p_error"], rec["ng"], wi_world)
@@ -176,13 +232,19 @@ def li_path(
                 has_bsdf, mat_types, light_types, quadric_types, pick=pick,
             )
         L = L + jnp.where(has_bsdf[..., None], beta * ld, 0.0)
-        dim += 2  # the u_bsdf dims (+5, +6) consumed above
+        dim_b += 2  # the u_bsdf dims (+5, +6) consumed above
 
+        # Dead/invalid lanes (pdf=0) would otherwise feed a ~1e20 ratio into
+        # the backward pass (overflow -> NaN adjoints); they die below, so
+        # zero their contrib with a sanitized pdf.
+        valid = has_bsdf & bs["valid"]
+        pdf_s = jnp.where(valid, bs["pdf"], 1.0)
         contrib = (
             bs["f"]
-            * (absdot(wi_world, ns) / jnp.maximum(bs["pdf"], 1e-20))[..., None]
+            * (absdot(wi_world, ns) / jnp.maximum(pdf_s, 1e-20))[..., None]
         )
-        alive = alive & has_bsdf & bs["valid"]
+        contrib = jnp.where(valid[..., None], contrib, 0.0)
+        alive = alive & valid
         beta = jnp.where(alive[..., None], beta * contrib, beta)
         specular_bounce = bs["is_specular"]
         # etaScale tracking for RR through glass (path.cpp:144-150).
@@ -204,13 +266,13 @@ def li_path(
         # when present it consumes 10 extra dims per bounce for every lane
         # (static schedule; pbrt consumes them only on subsurface paths). ----
         if sc.MAT_SUBSURFACE in mat_types:
-            u_ss = sa.get_1d(sampler_cfg, sampler_state, dim)
-            u_ss2 = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
-            u_sel2 = sa.get_1d(sampler_cfg, sampler_state, dim + 3)
-            u_li2 = sa.get_2d(sampler_cfg, sampler_state, dim + 4)
-            u_sc2 = sa.get_2d(sampler_cfg, sampler_state, dim + 6)
-            u_bsdf2 = sa.get_2d(sampler_cfg, sampler_state, dim + 8)
-            dim += 10
+            u_ss = sa.get_1d(sampler_cfg, sampler_state, dim_b)
+            u_ss2 = sa.get_2d(sampler_cfg, sampler_state, dim_b + 1)
+            u_sel2 = sa.get_1d(sampler_cfg, sampler_state, dim_b + 3)
+            u_li2 = sa.get_2d(sampler_cfg, sampler_state, dim_b + 4)
+            u_sc2 = sa.get_2d(sampler_cfg, sampler_state, dim_b + 6)
+            u_bsdf2 = sa.get_2d(sampler_cfg, sampler_state, dim_b + 8)
+            dim_b += 10
             crossed = bs["wi"][..., 2] * wo_local[..., 2] < 0.0
             do_ss = alive & (mat["type"] == sc.MAT_SUBSURFACE) & crossed
             spr = common.sample_bssrdf_sp(
@@ -283,8 +345,8 @@ def li_path(
 
         # ---- Russian roulette (path.cpp:176-184), dim +7 after bounce 3 ----
         if bounce > 3:
-            u_rr = sa.get_1d(sampler_cfg, sampler_state, dim)
-            dim += 1
+            u_rr = sa.get_1d(sampler_cfg, sampler_state, dim_b)
+            dim_b += 1
             rr_beta_max = spectrum.max_component(beta * eta_scale[..., None])
             q = jnp.maximum(0.05, 1.0 - rr_beta_max)
             do_rr = rr_beta_max < cfg.rr_threshold
@@ -306,12 +368,10 @@ def li_path(
             t, prim = t_next, prim_next
         else:
             t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
+        return (L, beta, alive, specular_bounce, eta_scale, o, d, t, prim,
+                counters)
 
-    if stats_out:
-        return L, counters
-    if count_rays:
-        return L, st.ray_total(counters)
-    return L
+    return body
 
 
 def make_pixel_grid(film_cfg: fm.FilmConfig):

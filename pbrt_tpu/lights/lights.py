@@ -23,6 +23,7 @@ from ..core.vecmath import (
     spherical_direction_basis,
 )
 from ..core import sampling as smp
+from ..core import vecmath as vm
 from .. import scene as sc
 
 
@@ -361,8 +362,9 @@ def pdf_li(scene: sc.SceneArrays, light_idx, ref_p, wi, light_types):
         disc = b_q * b_q - 4.0 * c_q
         hits = disc >= 0.0
         # Inside: Shape::Pdf fallback (shape.cpp:69-83) — intersect the
-        # sphere along wi, convert area pdf to solid angle.
-        root = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # sphere along wi, convert area pdf to solid angle.  _safe_sqrt:
+        # grazing disc==0 lanes must not emit an inf derivative.
+        root = vm._safe_sqrt(disc)
         t0 = 0.5 * (-b_q - root)
         t1 = 0.5 * (-b_q + root)
         t_hit = jnp.where(t0 > 1e-4, t0, t1)
@@ -389,7 +391,10 @@ def pdf_li(scene: sc.SceneArrays, light_idx, ref_p, wi, light_types):
         area_t = 0.5 * length(ng)
         ng = normalize(ng)
         cos_surf = jnp.abs(dot(ng, -wi))
-        d2 = r["t"] * r["t"]
+        # Miss lanes carry t=inf; square it only where hit (inf^2 would NaN
+        # the backward pass through the masking where).
+        t_s = jnp.where(r["hit"], r["t"], 1.0)
+        d2 = t_s * t_s
         pdf_m = jnp.where(
             r["hit"] & (cos_surf > 1e-7),
             d2 / jnp.maximum(cos_surf * area_t, 1e-12),

@@ -28,6 +28,7 @@ from ..core.vecmath import (
     vec,
 )
 from ..core import sampling as smp
+from ..core import vecmath as vm
 from ..core.sampling import INV_PI
 from . import microfacet as mf
 from ..scene import (
@@ -89,10 +90,12 @@ def fresnel_dielectric(cos_theta_i, eta_i, eta_t):
     ei = jnp.where(entering, eta_i, eta_t)
     et = jnp.where(entering, eta_t, eta_i)
     ci = jnp.abs(ci)
-    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    # _safe_sqrt: zero (not inf) gradient at the clamp — the TIR branch's
+    # sqrt(0) otherwise poisons the backward pass (0-cotangent * inf = NaN).
+    si = vm._safe_sqrt(1.0 - ci * ci)
     st = ei / et * si
     tir = st >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - st * st))
+    ct = vm._safe_sqrt(1.0 - st * st)
     r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-12)
     r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-12)
     fr = 0.5 * (r_parl * r_parl + r_perp * r_perp)
@@ -109,9 +112,9 @@ def fresnel_conductor(cos_theta_i, eta_i, eta_t, k):
     eta2 = eta * eta
     etak2 = etak * etak
     t0 = eta2 - etak2 - si2
-    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * etak2, 0.0))
+    a2b2 = vm._safe_sqrt(t0 * t0 + 4.0 * eta2 * etak2)
     t1 = a2b2 + ci2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    a = vm._safe_sqrt(0.5 * (a2b2 + t0))
     t2 = 2.0 * ci * a
     rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
     t3 = ci2 * a2b2 + si2 * si2

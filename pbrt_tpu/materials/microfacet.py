@@ -38,23 +38,31 @@ def roughness_to_alpha(roughness):
 
 
 def tr_d(wh, ax, ay):
-    """TrowbridgeReitz D (microfacet.cpp:130)."""
+    """TrowbridgeReitz D (microfacet.cpp:130).
+
+    Grazing wh (tan2 = inf) lanes return 0 exactly as pbrt does; the inf is
+    masked *before* the arithmetic (double-where) so the backward pass stays
+    NaN-free for the differentiable renderer."""
     t2 = tan2_theta(wh)
-    c4 = cos2_theta(wh) ** 2
+    fin = jnp.isfinite(t2)
+    t2 = jnp.where(fin, t2, 0.0)
+    c4 = jnp.where(fin, cos2_theta(wh), 1.0) ** 2
     e = (cos_phi(wh) ** 2 / (ax * ax) + sin_phi(wh) ** 2 / (ay * ay)) * t2
     d = 1.0 / (jnp.pi * ax * ay * c4 * (1.0 + e) ** 2)
-    return jnp.where(jnp.isfinite(t2), d, 0.0)
+    return jnp.where(fin, d, 0.0)
 
 
 def tr_lambda(w, ax, ay):
     """TrowbridgeReitz Lambda (microfacet.cpp:149)."""
     abs_tan = jnp.abs(tan_theta(w))
+    fin = jnp.isfinite(abs_tan)
+    abs_tan = jnp.where(fin, abs_tan, 0.0)
     alpha = jnp.sqrt(
         cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay
     )
     a2t2 = (alpha * abs_tan) ** 2
     lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
-    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+    return jnp.where(fin, lam, 0.0)
 
 
 def tr_g1(w, ax, ay):
@@ -81,14 +89,20 @@ def _tr_sample_11(cos_theta_in, u1, u2):
     a = 1.0 / jnp.where(tan_t == 0.0, 1e-12, tan_t)
     g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-20)))
 
-    # Sample slope_x (microfacet.cpp:255-270).
+    # Sample slope_x (microfacet.cpp:255-270).  A is NOT restricted to
+    # [-1,1]: u1 > G1 gives A > 1 with probability 1-G1 (that's the
+    # visible-normal weighting); clipping it skews the distribution — caught
+    # by the chi-square suite (tests/test_chi2_bsdf.py).  pbrt clamps only
+    # tmp > 1e10; the symmetric lower clamp guards the measure-zero
+    # A*A == 1 lane against inf/NaN on f32 lanes.
     A = 2.0 * u1 / g1 - 1.0
-    A = jnp.clip(A, -1.0 + 1e-6, 1.0 - 1e-6)
-    tmp = jnp.minimum(1.0 / jnp.maximum(A * A - 1.0, -1e12), 1e10)
-    tmp = 1.0 / (A * A - 1.0)
-    tmp = jnp.where(jnp.abs(tmp) > 1e10, jnp.sign(tmp) * 1e10, tmp)
+    denom = A * A - 1.0
+    tmp = 1.0 / jnp.where(denom == 0.0, 1e-10, denom)
+    tmp = jnp.clip(tmp, -1e10, 1e10)
     B = tan_t
-    D = jnp.sqrt(jnp.maximum(B * B * tmp * tmp - (A * A - B * B) * tmp, 0.0))
+    Darg = B * B * tmp * tmp - (A * A - B * B) * tmp
+    pos = Darg > 0.0
+    D = jnp.where(pos, jnp.sqrt(jnp.where(pos, Darg, 1.0)), 0.0)
     sx1 = B * tmp - D
     sx2 = B * tmp + D
     slope_x = jnp.where((A < 0.0) | (sx2 > 1.0 / jnp.maximum(tan_t, 1e-12)), sx1, sx2)
@@ -156,18 +170,22 @@ def tr_pdf_visible(wo, wh, ax, ay):
 def beckmann_d(wh, ax, ay):
     """BeckmannDistribution::D (microfacet.cpp:112)."""
     t2 = tan2_theta(wh)
-    c4 = cos2_theta(wh) ** 2
+    fin = jnp.isfinite(t2)
+    t2 = jnp.where(fin, t2, 0.0)
+    c4 = jnp.where(fin, cos2_theta(wh), 1.0) ** 2
     d = jnp.exp(
         -t2 * (cos_phi(wh) ** 2 / (ax * ax) + sin_phi(wh) ** 2 / (ay * ay))
     ) / (jnp.pi * ax * ay * c4)
-    return jnp.where(jnp.isfinite(t2), d, 0.0)
+    return jnp.where(fin, d, 0.0)
 
 
 def beckmann_lambda(w, ax, ay):
     """(microfacet.cpp:137) rational-polynomial approximation."""
     abs_tan = jnp.abs(tan_theta(w))
+    fin = jnp.isfinite(abs_tan)
+    abs_tan = jnp.where(fin, abs_tan, 0.0)
     alpha = jnp.sqrt(cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay)
     a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-12)
     lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
     lam = jnp.where(a >= 1.6, 0.0, lam)
-    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+    return jnp.where(fin, lam, 0.0)

@@ -6,14 +6,16 @@ its object<->world 4x4 matrices (quadrics intersect in object space,
 sphere.cpp:70-77) plus params {radius, z_min, z_max, phi_max, extra}.
 
 The reference uses EFloat interval arithmetic for robust quadratic roots
-(efloat.h:48-100); here we solve in f32 with the numerically-stable quadratic
-formula and apply pbrt's closed-form gamma() error bounds — SURVEY.md §2.1's
-"conservative fixed gamma(n) scalars" plan.
+(efloat.h:48-100), retreating to f64 for the discriminant + sqrt; here the
+discriminant is computed in double-single (two-float) emulation
+(core/dsfloat.py) with pbrt's closed-form gamma() error bounds for the
+t-epsilons — SURVEY.md §2.1's "conservative fixed gamma(n) scalars" plan.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import dsfloat as ds
 from ..core import vecmath as vm
 from ..core.vecmath import dot, gamma, length, normalize, vec, cross
 
@@ -26,13 +28,20 @@ QUADRIC_HYPERBOLOID = 5
 
 
 def _quadratic(a, b, c):
-    """Stable quadratic solve (pbrt.h:419 Quadratic), vectorized.
+    """Stable quadratic solve (efloat.h:48-100 Quadratic), vectorized.
+
+    The discriminant and its square root are computed in double-single
+    (two-float) arithmetic — pbrt's one f64 refuge in the intersection path
+    (`(double)b*b - 4*(double)a*c`, `std::sqrt(double)`); TPU lanes have no
+    f64, so core/dsfloat.py emulates the ~48 bits that decide which root a
+    grazing ray takes.  Everything after the rounded-to-f32 root follows
+    pbrt's f32 EFloat center arithmetic.
 
     Returns (ok, t0, t1) with t0 <= t1.
     """
-    disc = b * b - 4.0 * a * c
-    ok = disc >= 0.0
-    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    dh, dl = ds.dd_discriminant(a, b, c)
+    ok = ~((dh < 0.0) | ((dh == 0.0) & (dl < 0.0)))
+    root = ds.dd_sqrt_to_f32(dh, dl)
     q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
     t0 = q / jnp.where(a == 0.0, 1.0, a)
     t1 = c / jnp.where(q == 0.0, 1.0, q)

@@ -4,8 +4,9 @@ TPU re-expression of pbrt's Triangle::Intersect (shapes/triangle.cpp:188-430):
 translate-to-origin, permute axes so z is the max |d| component, shear to the
 ray frame, signed 2D edge functions, scaled depth test, gamma()-bounded error
 estimates.  All lanes evaluate branch-free with masks; the exact-zero-edge
-double-precision fallback (triangle.cpp:243-250) is noted as a TODO — TPU has
-no f64 lanes, so a two-product (FMA) exact test is the planned substitute.
+double-precision fallback (triangle.cpp:243-250) is implemented with Dekker
+two-product double-single arithmetic (core/dsfloat.py) — TPU has no f64
+lanes, so the exact 2D cross re-evaluation supplies the same decision bits.
 
 Mesh storage is SoA in HBM: positions [V,3], indices [T,3], optional normals /
 tangents / uv; vertices are pre-transformed to world space at scene compile
@@ -15,6 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import dsfloat as ds
 from ..core.vecmath import cross, dot, normalize, vec, gamma, coordinate_system
 
 GAMMA2 = gamma(2)
@@ -64,10 +66,17 @@ def intersect_triangle(o, d, t_max, p0, p1, p2):
     p1t = _permute(p1t, kx, ky, kz)
     p2t = _permute(p2t, kx, ky, kz)
 
-    # Shear to align ray with +z (triangle.cpp:219-230).
-    sx = -dt[..., 0] / dt[..., 2]
-    sy = -dt[..., 1] / dt[..., 2]
-    sz = 1.0 / dt[..., 2]
+    # Shear to align ray with +z (triangle.cpp:219-230).  Degenerate (zero)
+    # directions only occur on masked lanes; guard the divide so they can't
+    # produce NaN t's (NaN compares false through every miss test below,
+    # which would otherwise make a dead lane report hit=True, t=NaN) or
+    # poison the backward pass.
+    dz = dt[..., 2]
+    degen = dz == 0.0
+    inv_dz = 1.0 / jnp.where(degen, 1.0, dz)
+    sx = -dt[..., 0] * inv_dz
+    sy = -dt[..., 1] * inv_dz
+    sz = inv_dz
     p0x = p0t[..., 0] + sx * p0t[..., 2]
     p0y = p0t[..., 1] + sy * p0t[..., 2]
     p1x = p1t[..., 0] + sx * p1t[..., 2]
@@ -75,11 +84,17 @@ def intersect_triangle(o, d, t_max, p0, p1, p2):
     p2x = p2t[..., 0] + sx * p2t[..., 2]
     p2y = p2t[..., 1] + sy * p2t[..., 2]
 
-    # Edge functions (triangle.cpp:236-250).  TODO(f64-fallback): exact
-    # two-product re-evaluation when an edge function is exactly zero.
+    # Edge functions (triangle.cpp:236-250).  pbrt recomputes all three in
+    # f64 when any is exactly zero (the watertightness fallback); TPU lanes
+    # have no f64, so the fallback is double-single exact 2D cross products
+    # (core/dsfloat.py) rounded back to f32 — same decision bits.
     e0 = p1x * p2y - p1y * p2x
     e1 = p2x * p0y - p2y * p0x
     e2 = p0x * p1y - p0y * p1x
+    any_zero = (e0 == 0.0) | (e1 == 0.0) | (e2 == 0.0)
+    e0 = jnp.where(any_zero, ds.dd_cross2_f32(p1x, p1y, p2x, p2y), e0)
+    e1 = jnp.where(any_zero, ds.dd_cross2_f32(p2x, p2y, p0x, p0y), e1)
+    e2 = jnp.where(any_zero, ds.dd_cross2_f32(p0x, p0y, p1x, p1y), e2)
 
     has_neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
     has_pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
@@ -119,7 +134,7 @@ def intersect_triangle(o, d, t_max, p0, p1, p2):
     ) * jnp.abs(inv_det)
     miss_eps = t <= delta_t
 
-    hit = ~(miss_sign | miss_det | miss_range | miss_eps)
+    hit = ~(miss_sign | miss_det | miss_range | miss_eps | degen)
 
     p_hit = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
     # Error bounds (triangle.cpp:302-305): gamma(7) * sum |b_i p_i|.

@@ -74,6 +74,74 @@ def test_area_light_furnace():
     assert abs(img.mean() - 1.0) < 0.04, img.mean()
 
 
+import pytest
+
+# The reference's cross product (analytic_scenes.cpp:255-410):
+# {Path, VolPath, BDPT, MLT} x {Halton, (0,2)-seq, Sobol, Random, Stratified}
+# on analytic scenes, mean within Delta=0.02 (CheckSceneAverage).  MLT has no
+# sampler choice (it owns its PSS sampler, mlt.cpp:53) — exactly as in the
+# reference, where the MLT rows ignore the sampler axis.
+SAMPLERS = ["sobol", "halton", "random", "stratified", "zerotwosequence"]
+
+
+def _furnace_builder():
+    b = sc.SceneBuilder()
+    m = b.add_material(sc.MAT_MATTE, kd=(0.5, 0.5, 0.5), sigma=0.0)
+    b.add_sphere(tf.identity(), 1.0, material=m)
+    b.add_point_light(tf.identity(), (np.pi, np.pi, np.pi))
+    return b
+
+
+FURNACE_EXPECTED = 1.0 - 0.5**8  # at max_depth=8
+
+
+@pytest.mark.parametrize("sampler", SAMPLERS)
+def test_furnace_cross_path(sampler):
+    img = _render(_furnace_builder(), spp=16, max_depth=8, sampler=sampler)
+    assert abs(img.mean() - FURNACE_EXPECTED) < 0.025, (sampler, img.mean())
+
+
+@pytest.mark.parametrize("sampler", SAMPLERS)
+def test_furnace_cross_volpath(sampler):
+    from pbrt_tpu.integrators import volpath as vp
+
+    scene = _furnace_builder().build()
+    img = np.asarray(vp.render(
+        scene, _interior_camera(), fm.FilmConfig(full_resolution=RES),
+        SamplerConfig(sampler, 16, RES), pt.PathConfig(max_depth=8),
+    ))
+    assert abs(img.mean() - FURNACE_EXPECTED) < 0.025, (sampler, img.mean())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sampler", SAMPLERS)
+def test_furnace_cross_bdpt(sampler):
+    from pbrt_tpu.integrators import bdpt
+
+    scene = _furnace_builder().build()
+    img = np.asarray(bdpt.render(
+        scene, _interior_camera(), fm.FilmConfig(full_resolution=RES),
+        SamplerConfig(sampler, 16, RES), bdpt.BDPTConfig(max_depth=5),
+    ))
+    expected = 1.0 - 0.5**5
+    assert abs(img.mean() - expected) < 0.04, (sampler, img.mean())
+
+
+@pytest.mark.slow
+def test_furnace_cross_mlt():
+    from pbrt_tpu.integrators import mlt
+
+    scene = _furnace_builder().build()
+    img = np.asarray(mlt.render(
+        scene, _interior_camera(), fm.FilmConfig(full_resolution=RES),
+        mlt.MLTConfig(max_depth=5, mutations_per_pixel=64),
+    ))
+    expected = 1.0 - 0.5**5
+    # MLT normalizes by a bootstrap estimate of b: wider tolerance
+    # (the reference likewise relaxes MLT rows).
+    assert abs(img.mean() - expected) < 0.08, img.mean()
+
+
 def test_shard_count_invariance():
     """Rendering must not depend on batch split (P8 determinism contract)."""
     b = sc.SceneBuilder()
