@@ -344,9 +344,18 @@ def _use_kernel(scene) -> bool:
 
 
 def intersect_closest(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
-    """Closest-hit query.  Returns (t [N], prim_id [N]; -1 = miss)."""
+    """Closest-hit query.  Returns (t [N], prim_id [N]; -1 = miss).
+
+    The traversal is non-differentiable BY DESIGN (SURVEY.md §7: hit ids and
+    t's are discrete/detached; hit_record re-derives the interaction
+    differentiably for the fixed id) — inputs are detached here so AD never
+    traces into the Pallas kernel (no JVP rule) or wastes backward compute
+    on the XLA traversal loop."""
     import jax as _jax
 
+    o = _jax.lax.stop_gradient(o)
+    d = _jax.lax.stop_gradient(d)
+    t_max = _jax.lax.stop_gradient(t_max)
     with _jax.named_scope("traverse/closest"):
         return _intersect_closest(scene, o, d, t_max, quadric_types)
 
@@ -369,9 +378,12 @@ def _intersect_closest(scene, o, d, t_max, quadric_types=()):
 
 def intersect_any(scene: sc.SceneArrays, o, d, t_max, quadric_types=()):
     """Shadow-ray query with early-out (bvh.cpp:702 IntersectP).
-    Returns occluded [N] bool."""
+    Returns occluded [N] bool.  Inputs detached (see intersect_closest)."""
     import jax as _jax
 
+    o = _jax.lax.stop_gradient(o)
+    d = _jax.lax.stop_gradient(d)
+    t_max = _jax.lax.stop_gradient(t_max)
     with _jax.named_scope("traverse/any"):
         return _intersect_any(scene, o, d, t_max, quadric_types)
 

@@ -435,6 +435,25 @@ def render_sharded(
     base = jnp.asarray([i * total // D for i in range(D)], jnp.int32)
     lim = jnp.asarray([(i + 1) * total // D for i in range(D)], jnp.int32)
 
+    # Multi-host (P7, parallel/multihost.py): every process runs this same
+    # function over the GLOBAL mesh; arrays must be placed with explicit
+    # global shardings (local eager arrays are not addressable across
+    # processes), and reductions over sharded state must happen inside jit
+    # with replicated outputs.
+    multi = jax.process_count() > 1
+    from jax.sharding import NamedSharding
+
+    axis_spec = P(axis) if isinstance(axis, str) else P(tuple(axis))
+    if multi:
+        repl = NamedSharding(mesh, P())
+        shard1 = NamedSharding(mesh, axis_spec)
+        scene = jax.device_put(scene, repl)
+        camera = jax.device_put(camera, repl)
+        film_state = jax.device_put(film_state, repl)
+        pixels = jax.device_put(pixels, repl)
+        base = jax.device_put(np.asarray(base), shard1)
+        lim = jax.device_put(np.asarray(lim), shard1)
+
     def _wrap(st):
         """Per-shard scalars/film get a leading length-1 axis for shard_map."""
         out = dict(st)
@@ -492,25 +511,39 @@ def render_sharded(
         )
     )
 
+    # Done-check + final merge as jitted REPLICATED reductions so they work
+    # identically on a single process and across a multi-host cluster (the
+    # cross-shard sums become XLA collectives over ICI/DCN).
+    repl_out = NamedSharding(mesh, P())
+    done_fn = jax.jit(
+        lambda s_, lm: jnp.all(s_["next_work"] >= lm)
+        & ~jnp.any(s_["alive"]),
+        out_shardings=repl_out,
+    )
+
+    def _merge(s_):
+        film = fm.FilmState(
+            weighted_sum=jnp.sum(s_["film"].weighted_sum, axis=0),
+            weight_sum=jnp.sum(s_["film"].weight_sum, axis=0),
+            splat=jnp.sum(s_["film"].splat, axis=0),
+            x0=film_state.x0, y0=film_state.y0,
+            filter_table=film_state.filter_table,
+            inv_radius=film_state.inv_radius,
+            footprint=film_state.footprint,
+            max_sample_luminance=film_state.max_sample_luminance,
+        )
+        img = fm.to_image(film, scale=film_cfg.scale)
+        return img, st.ray_total(jnp.sum(s_["counters"], axis=0))
+
+    merge_fn = jax.jit(_merge, out_shardings=(repl_out, repl_out))
+
     state = jax.jit(init_sharded)(base, lim)
     while True:
         state = superstep(state)
-        nw = np.asarray(state["next_work"])
-        alive_any = bool(jnp.any(state["alive"]))
-        if (nw >= np.asarray(lim)).all() and not alive_any:
+        if bool(np.asarray(done_fn(state, lim))):
             break
-    # Merge film partials (P3): sum the per-shard accumulation arrays.
-    film = fm.FilmState(
-        weighted_sum=jnp.sum(state["film"].weighted_sum, axis=0),
-        weight_sum=jnp.sum(state["film"].weight_sum, axis=0),
-        splat=jnp.sum(state["film"].splat, axis=0),
-        x0=film_state.x0, y0=film_state.y0,
-        filter_table=film_state.filter_table,
-        inv_radius=film_state.inv_radius,
-        footprint=film_state.footprint,
-        max_sample_luminance=film_state.max_sample_luminance,
-    )
-    img = fm.to_image(film, scale=film_cfg.scale)
+    img, n_rays = merge_fn(state)
+    img = np.asarray(img)
     if count_rays:
-        return img, float(st.ray_total(jnp.sum(state["counters"], axis=0)))
+        return img, float(n_rays)
     return img
