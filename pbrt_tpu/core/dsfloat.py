@@ -89,10 +89,13 @@ def dd_sqrt_to_f32(dh, dl):
     f32-rounded discriminant loses."""
     pos = dh > 0.0
     s = jnp.sqrt(jnp.where(pos, dh, 1.0))
-    # r = d - s*s in double-single; correction = r / (2 s).
+    # r = d - s*s in double-single; correction = r / (2 s).  Refine only on
+    # normal-range lanes: for denormal dh the division overflows and the
+    # inf would poison backward passes through the masking where.
+    refine = dh > 1e-30
     s2h, s2l = two_prod(s, s)
     rh, _ = dd_sub(dh, dl, s2h, s2l)
-    s = s + rh / (2.0 * s)
+    s = s + jnp.where(refine, rh, 0.0) / (2.0 * jnp.where(refine, s, 1.0))
     return jnp.where(pos, s, 0.0)
 
 

@@ -50,6 +50,13 @@ def _quadratic(a, b, c):
     return ok, lo, hi
 
 
+def _safe_atan2(y, x):
+    """arctan2 with a zero (not NaN) gradient at (0,0) — masked lanes hit
+    the origin exactly and arctan2's partials are y/(x^2+y^2) there."""
+    zero = (x == 0.0) & (y == 0.0)
+    return jnp.arctan2(jnp.where(zero, 0.0, y), jnp.where(zero, 1.0, x))
+
+
 def xform_point(m, p):
     return vm.xform_point(m, p)
 
@@ -69,7 +76,7 @@ def intersect_sphere_object(oo, od, t_max, radius, z_min, z_max, phi_max):
 
     def clip(t):
         p = oo + t[..., None] * od
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = _safe_atan2(p[..., 1], p[..., 0])
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         z_ok = jnp.where(z_min > -radius, p[..., 2] >= z_min, True) & jnp.where(
             z_max < radius, p[..., 2] <= z_max, True
@@ -91,7 +98,7 @@ def intersect_cylinder_object(oo, od, t_max, radius, z_min, z_max, phi_max):
 
     def clip(t):
         p = oo + t[..., None] * od
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = _safe_atan2(p[..., 1], p[..., 0])
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         return (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
 
@@ -107,7 +114,7 @@ def intersect_disk_object(oo, od, t_max, radius, inner_radius, height, phi_max):
     t = (height - oo[..., 2]) / dz
     p = oo + t[..., None] * od
     dist2 = p[..., 0] ** 2 + p[..., 1] ** 2
-    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = _safe_atan2(p[..., 1], p[..., 0])
     phi = jnp.where(phi < 0.0, phi + 2 * jnp.pi, phi)
     hit = (
         (od[..., 2] != 0.0)
@@ -143,7 +150,7 @@ def intersect_sphere(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
             p_hit[..., 0],
         )
         p_hit = p_hit.at[..., 0].set(x) if hasattr(p_hit, "at") else p_hit
-        phi = jnp.arctan2(p_hit[..., 1], p_hit[..., 0])
+        phi = _safe_atan2(p_hit[..., 1], p_hit[..., 0])
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         z_ok = jnp.where(
             (z_min > -radius), p_hit[..., 2] >= z_min, True
@@ -211,7 +218,7 @@ def intersect_disk(o, d, t_max, w2o, o2w, radius, inner_radius, height, phi_max)
     t = (height - oo[..., 2]) / dz
     p_hit = oo + t[..., None] * od
     dist2 = p_hit[..., 0] ** 2 + p_hit[..., 1] ** 2
-    phi = jnp.arctan2(p_hit[..., 1], p_hit[..., 0])
+    phi = _safe_atan2(p_hit[..., 1], p_hit[..., 0])
     phi = jnp.where(phi < 0.0, phi + 2 * jnp.pi, phi)
     hit = (
         (od[..., 2] != 0.0)
@@ -252,7 +259,7 @@ def intersect_cylinder(o, d, t_max, w2o, o2w, radius, z_min, z_max, phi_max):
         p = p * jnp.stack(
             [radius / hit_r, radius / hit_r, jnp.ones_like(hit_r)], -1
         )
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = _safe_atan2(p[..., 1], p[..., 0])
         phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
         okc = (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
         return p, phi, okc
@@ -332,7 +339,7 @@ def intersect_cone_object(oo, od, t_max, par):
 
     def clip(t):
         p = oo + t[..., None] * od
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = _safe_atan2(p[..., 1], p[..., 0])
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         return (p[..., 2] >= 0.0) & (p[..., 2] <= height) & (phi <= phi_max)
 
@@ -352,7 +359,7 @@ def intersect_cone(o, d, t_max, w2o, o2w, par):
 
     def clip(t):
         p = oo + t[..., None] * od
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = _safe_atan2(p[..., 1], p[..., 0])
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         okc = (p[..., 2] >= 0.0) & (p[..., 2] <= height) & (phi <= phi_max)
         return p, phi, okc
@@ -404,7 +411,7 @@ def intersect_paraboloid_object(oo, od, t_max, par):
 
     def clip(t):
         p = oo + t[..., None] * od
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = _safe_atan2(p[..., 1], p[..., 0])
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         return (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
 
@@ -425,7 +432,7 @@ def intersect_paraboloid(o, d, t_max, w2o, o2w, par):
 
     def clip(t):
         p = oo + t[..., None] * od
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = _safe_atan2(p[..., 1], p[..., 0])
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         okc = (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
         return p, phi, okc
@@ -481,7 +488,7 @@ def _hyperboloid_phi(p_hit, par):
     v = (p_hit[..., 2] - z1) / jnp.where(jnp.abs(z2 - z1) < 1e-12, 1e-12, z2 - z1)
     xr = (1.0 - v) * par[..., 5] + v * par[..., 8]
     yr = (1.0 - v) * par[..., 6] + v * par[..., 9]
-    phi = jnp.arctan2(
+    phi = _safe_atan2(
         p_hit[..., 1] * xr - p_hit[..., 0] * yr,
         p_hit[..., 0] * xr + p_hit[..., 1] * yr,
     )
