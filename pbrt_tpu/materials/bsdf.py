@@ -205,11 +205,16 @@ def microfacet_reflection_f(R, ax, ay, wo, wi, fresnel_fn):
 
 
 def microfacet_reflection_pdf(ax, ay, wo, wi):
-    wh = normalize(wo + wi)
+    # Degenerate wo + wi ~ 0 guard (same as the _raw variant below): the
+    # unguarded normalize fed near-zero half vectors into tr_pdf, whose
+    # huge-but-finite partials overflowed to inf/NaN in backward passes.
+    wh_r = wo + wi
+    degen = jnp.sum(wh_r * wh_r, -1) < 1e-16
+    wh = normalize(jnp.where(degen[..., None], vec(0.0, 0.0, 1.0), wh_r))
     pdf = mf.tr_pdf_visible(wo, wh, ax, ay) / jnp.maximum(
         4.0 * dot(wo, wh), 1e-12
     )
-    return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+    return jnp.where(~degen & same_hemisphere(wo, wi), pdf, 0.0)
 
 
 def microfacet_reflection_pdf_raw(ax, ay, wo, wi):

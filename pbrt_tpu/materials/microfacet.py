@@ -152,7 +152,11 @@ def tr_sample_wh_full(wo, u, ax, ay):
     tan2 = alpha * alpha * u[..., 0] / jnp.maximum(1.0 - u[..., 0], 1e-12)
     phi = (2.0 * jnp.pi) * u[..., 1]
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    # _safe_sqrt: u[0] == 0 lanes have cos_t == 1 exactly; sqrt'(0) = inf
+    # would NaN the roughness adjoints (alpha flows through tan2).
+    from ..core.vecmath import _safe_sqrt
+
+    sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
     wh = vec(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
     return jnp.where(same_hemisphere(wo, wh)[..., None], wh, -wh)
 

@@ -129,6 +129,7 @@ def _make_kernel(n_nodes: int, n_leaves: int):
         o_ref,  # VMEM block [1, 3, 8, 128] — this grid step's packet
         d_ref,  # VMEM block [1, 3, 8, 128]
         tmax_ref,  # VMEM block [1, 8, 128]
+        mode_ref,  # VMEM block [1, 8, 128] f32: >0 = any-hit (shadow) lane
         t_out,  # VMEM block [1, 8, 128]
         prim_out,  # VMEM block [1, 8, 128] i32
         stack_ref,  # SMEM [STACK_DEPTH] i32 scratch
@@ -152,6 +153,13 @@ def _make_kernel(n_nodes: int, n_leaves: int):
         negx = jnp.sum((dx < 0.0).astype(jnp.float32)) > PACKET / 2
         negy = jnp.sum((dy < 0.0).astype(jnp.float32)) > PACKET / 2
         negz = jnp.sum((dz < 0.0).astype(jnp.float32)) > PACKET / 2
+        # Any-hit (shadow) lanes exit early (bvh.cpp:702-738 IntersectP):
+        # on their first registered hit, t_best drops to -inf, so the lane
+        # stops passing the slab test's `tn < t_best` — it no longer votes
+        # for node visits and the packet's traversal union shrinks.  Shadow
+        # + MIS + extension rays share one launch, so this is a per-lane
+        # mode, not a separate kernel.
+        is_any = mode_ref[p] > 0.0
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -210,7 +218,11 @@ def _make_kernel(n_nodes: int, n_leaves: int):
                     v = [lrow[base + 2 + j] for j in range(9)]
                     h, t = _tri_hit(ox, oy, oz, dx, dy, dz, t_best, v)
                     take = (ptype == 0.0) & h & hit_mask
-                    t_best = jnp.where(take, t, t_best)
+                    t_best = jnp.where(
+                        take,
+                        jnp.where(is_any, jnp.float32(-1e30), t),
+                        t_best,
+                    )
                     prim_best = jnp.where(take, pid, prim_best)
                 return t_best, prim_best
 
@@ -263,7 +275,7 @@ def _make_kernel(n_nodes: int, n_leaves: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_leaves"))
-def _run_packets(nodes, leaves, o, d, t_max, n_nodes, n_leaves):
+def _run_packets(nodes, leaves, o, d, t_max, mode, n_nodes, n_leaves):
     n = o.shape[0]
     n_packets = n // PACKET
     o_b = o.reshape(n_packets, PACKET, 3).transpose(0, 2, 1).reshape(
@@ -273,6 +285,7 @@ def _run_packets(nodes, leaves, o, d, t_max, n_nodes, n_leaves):
         n_packets, 3, SUBLANES, LANES
     )
     t_b = t_max.reshape(n_packets, SUBLANES, LANES)
+    m_b = mode.reshape(n_packets, SUBLANES, LANES)
 
     kernel = _make_kernel(n_nodes, n_leaves)
     np_pages = nodes.shape[0]
@@ -289,6 +302,7 @@ def _run_packets(nodes, leaves, o, d, t_max, n_nodes, n_leaves):
             pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
@@ -303,29 +317,37 @@ def _run_packets(nodes, leaves, o, d, t_max, n_nodes, n_leaves):
             pltpu.VMEM((1, LEAF_ROW_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(nodes, leaves, o_b, d_b, t_b)
+    )(nodes, leaves, o_b, d_b, t_b, m_b)
     t_flat = t_out.reshape(n_packets * SUBLANES * LANES)
     p_flat = prim_out.reshape(n_packets * SUBLANES * LANES)
     return t_flat, p_flat
 
 
-def intersect_closest_packets(scene, kernel_tables, o, d, t_max):
+def intersect_closest_packets(scene, kernel_tables, o, d, t_max,
+                              any_mask=None):
     """Packet-kernel closest hit.  o, d: [N,3]; N padded to PACKET multiple
-    by the caller.  Returns (t [N], prim_id [N])."""
+    by the caller.  Returns (t [N], prim_id [N]).  Lanes with any_mask set
+    terminate at their FIRST hit (shadow-ray early-out; their returned t is
+    a sentinel, only prim >= 0 is meaningful)."""
     nodes = kernel_tables["nodes"]  # pages [P, NODE_W, 128]
     leaves = kernel_tables["leaves"]
     n_real_nodes = int(np.asarray(scene.nodes_packed).shape[0])
     return _kernel_trace(
         jnp.asarray(nodes), jnp.asarray(leaves),
-        n_real_nodes, int(leaves.shape[0]), o, d, t_max,
+        n_real_nodes, int(leaves.shape[0]), o, d, t_max, any_mask,
     )
 
 
-def _kernel_trace(nodes, leaves, n_nodes, n_leaves, o, d, t_max):
-    import os as _os
-
+def _kernel_trace(nodes, leaves, n_nodes, n_leaves, o, d, t_max,
+                  any_mask=None):
     n = o.shape[0]
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if any_mask is None:
+        mode = jnp.zeros((n,), jnp.float32)
+    else:
+        mode = jnp.broadcast_to(
+            jnp.asarray(any_mask), (n,)
+        ).astype(jnp.float32)
     pad = (-n) % PACKET
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
@@ -333,9 +355,9 @@ def _kernel_trace(nodes, leaves, n_nodes, n_leaves, o, d, t_max):
             [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))]
         )
         t_max_arr = jnp.concatenate([t_max_arr, jnp.zeros((pad,), jnp.float32)])
-    run = (_run_packets_sub
-           if _os.environ.get("PBRT_TPU_SUBPACKETS") == "1" else _run_packets)
-    t, p = run(nodes, leaves, o, d, t_max_arr, n_nodes, n_leaves)
+        mode = jnp.concatenate([mode, jnp.zeros((pad,), jnp.float32)])
+    t, p = _run_packets(nodes, leaves, o, d, t_max_arr, mode, n_nodes,
+                        n_leaves)
     return t[:n], p[:n]
 
 
@@ -372,7 +394,7 @@ def sort_rays_key(scene, o, d):
 
 
 def intersect_kernel_with_quadrics(scene, o, d, t_max, quadric_types=(),
-                                   sort: bool = True):
+                                   sort: bool = True, any_mask=None):
     """Full closest-hit via the packet kernel (triangles through the BVH
     kernel; quadrics brute-forced — scenes carry few of them, e.g. killeroo's
     single light sphere).  Same (t, prim_id) contract as the XLA loop.
@@ -395,16 +417,19 @@ def intersect_kernel_with_quadrics(scene, o, d, t_max, quadric_types=(),
         o_s = o[order]
         d_s = d[order]
         tm_s = t_max_arr[order]
+        am_s = None if any_mask is None else jnp.broadcast_to(
+            jnp.asarray(any_mask), (n,)
+        )[order]
         t_s, prim_s = _kernel_trace(
             nodes, leaves, n_real_nodes, int(leaves.shape[0]),
-            o_s, d_s, tm_s,
+            o_s, d_s, tm_s, am_s,
         )
         t = jnp.zeros((n,), jnp.float32).at[order].set(t_s)
         prim = jnp.zeros((n,), jnp.int32).at[order].set(prim_s)
     else:
         t, prim = _kernel_trace(
             nodes, leaves, n_real_nodes, int(leaves.shape[0]),
-            o, d, t_max_arr,
+            o, d, t_max_arr, any_mask,
         )
     if quadric_types:
         n_q = int(scene.q_packed.shape[0])
@@ -455,230 +480,3 @@ def kernel_supported(scene, n_quadrics_in_scene: int,
         return False
     nbytes = 4 * int(np.prod(scene.kernel_nodes.shape))
     return nbytes <= max_vmem_bytes
-
-
-# ---------------------------------------------------------------------------
-# Experimental: 8 independent 128-ray sub-packets per grid step.
-#
-# The single-packet loop is LATENCY-bound on its serial chain (scalar stack
-# -> dynamic slice -> reduce -> branch); here each sublane row is its own
-# 128-ray packet with its own node/stack, so 8 serial chains interleave
-# while every vector op still covers the full [8,128] tile.  Incoherent rays
-# also traverse less: union(128 rays) << union(1024 rays).
-# Enable with PBRT_TPU_SUBPACKETS=1 (off until it wins on hardware).
-# ---------------------------------------------------------------------------
-
-
-def _make_kernel_sub(n_nodes: int, n_leaves: int):
-    def kernel(
-        nodes_ref,  # VMEM [Mp, NODE_W, 128]
-        leaves_ref,  # HBM [NL, LEAF_ROW_W]
-        o_ref,  # VMEM block [1, 3, 8, 128]
-        d_ref,
-        tmax_ref,  # [1, 8, 128]
-        t_out,
-        prim_out,
-        stack_ref,  # SMEM [SUBLANES, STACK_DEPTH]
-        leaf_buf,  # VMEM [SUBLANES, LEAF_ROW_W]
-        leaf_sem,  # DMA semaphores (SUBLANES,)
-    ):
-        p = 0
-        ox = o_ref[p, 0]
-        oy = o_ref[p, 1]
-        oz = o_ref[p, 2]
-        dx = d_ref[p, 0]
-        dy = d_ref[p, 1]
-        dz = d_ref[p, 2]
-        inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-        inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-        inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-        # Per-row majority direction votes (kept f32 — Mosaic can only
-        # extract 32-bit scalars from vectors, not bools).
-        half = LANES / 2
-        negxv = jnp.sum((dx < 0.0).astype(jnp.float32), 1, keepdims=True)
-        negyv = jnp.sum((dy < 0.0).astype(jnp.float32), 1, keepdims=True)
-        negzv = jnp.sum((dz < 0.0).astype(jnp.float32), 1, keepdims=True)
-
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-
-        def body(state):
-            nodes, sps, t_best, prim_best = state
-            nds = [jnp.clip(nodes[j], 0, n_nodes - 1) for j in range(SUBLANES)]
-            pages = jnp.concatenate(
-                [nodes_ref[pl.ds(nds[j] >> 7, 1)] for j in range(SUBLANES)], 0
-            )  # [8, NODE_W, 128]
-            sel = jnp.concatenate(
-                [(lane_iota == (nds[j] & 127)).astype(jnp.float32)
-                 for j in range(SUBLANES)], 0
-            )  # [8, 1, 128]
-            fields = jnp.sum(pages * sel, axis=-1)  # [8, NODE_W]
-
-            bx0 = fields[:, 0:1]
-            by0 = fields[:, 1:2]
-            bz0 = fields[:, 2:3]
-            bx1 = fields[:, 3:4]
-            by1 = fields[:, 4:5]
-            bz1 = fields[:, 5:6]
-            t0x = (bx0 - ox) * inv_dx
-            t1x = (bx1 - ox) * inv_dx
-            t0y = (by0 - oy) * inv_dy
-            t1y = (by1 - oy) * inv_dy
-            t0z = (bz0 - oz) * inv_dz
-            t1z = (bz1 - oz) * inv_dz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z),
-            )
-            tf = (
-                jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.maximum(t0z, t1z),
-                )
-                * 1.0000004
-            )
-            hit_mask = (tn <= tf) & (tf > 0.0) & (tn < t_best)  # [8,128]
-            row_any = jnp.sum(hit_mask.astype(jnp.float32), 1, keepdims=True)
-
-            # Per-row scalars.
-            active = [nodes[j] >= 0 for j in range(SUBLANES)]
-            any_hit = [row_any[j, 0] > 0.0 for j in range(SUBLANES)]
-            child = [fields[j, 6].astype(jnp.int32) for j in range(SUBLANES)]
-            nprims = [fields[j, 7].astype(jnp.int32) for j in range(SUBLANES)]
-            axis = [fields[j, 8].astype(jnp.int32) for j in range(SUBLANES)]
-            is_leaf = [nprims[j] > 0 for j in range(SUBLANES)]
-            at_leaf = [
-                active[j] & any_hit[j] & is_leaf[j] for j in range(SUBLANES)
-            ]
-
-            # Start ALL leaf DMAs, then wait — latencies overlap.
-            def _copy(j):
-                return pltpu.make_async_copy(
-                    leaves_ref.at[
-                        pl.ds(jnp.clip(child[j], 0, n_leaves - 1), 1), :
-                    ],
-                    leaf_buf.at[pl.ds(j, 1), :],
-                    leaf_sem.at[j],
-                )
-
-            for j in range(SUBLANES):
-                @pl.when(at_leaf[j])
-                def _(j=j):
-                    _copy(j).start()
-
-            for j in range(SUBLANES):
-                @pl.when(at_leaf[j])
-                def _(j=j):
-                    _copy(j).wait()
-
-            # Slot tests, vectorized across all rows ([8,1] broadcasts).
-            # Rows not at a leaf read their stale/zero buffer row: the exact
-            # tri test can then only re-find true intersections (or nothing
-            # for the zero rows), so no masking is needed for correctness.
-            for k in range(MAX_LEAF):
-                base = k * SLOT_W
-
-                def col(i):
-                    return leaf_buf[:, base + i : base + i + 1]  # [8,1]
-
-                ptype = col(0)
-                pid = col(1).astype(jnp.int32)
-                v = [col(2 + i) for i in range(9)]
-                h, t = _tri_hit(ox, oy, oz, dx, dy, dz, t_best, v)
-                take = (ptype == 0.0) & h & hit_mask
-                t_best = jnp.where(take, t, t_best)
-                prim_best = jnp.where(take, pid, prim_best)
-
-            # Per-row scalar stack transitions.
-            new_nodes = []
-            new_sps = []
-            for j in range(SUBLANES):
-                neg = jnp.where(
-                    axis[j] == 0,
-                    negxv[j, 0],
-                    jnp.where(axis[j] == 1, negyv[j, 0], negzv[j, 0]),
-                ) > half
-                near = jnp.where(neg, child[j], nodes[j] + 1)
-                far = jnp.where(neg, nodes[j] + 1, child[j])
-                push = active[j] & any_hit[j] & ~is_leaf[j]
-
-                @pl.when(push)
-                def _(j=j, far=far, sp=sps[j]):
-                    stack_ref[j, jnp.clip(sp, 0, STACK_DEPTH - 1)] = far
-
-                sp1 = jnp.where(push, sps[j] + 1, sps[j])
-                pop = active[j] & ~push
-                can = sp1 > 0
-                popped = stack_ref[j, jnp.clip(sp1 - 1, 0, STACK_DEPTH - 1)]
-                nxt = jnp.where(
-                    active[j],
-                    jnp.where(push, near, jnp.where(can, popped, -1)),
-                    -1,
-                )
-                new_nodes.append(nxt)
-                new_sps.append(jnp.where(pop & can, sp1 - 1, sp1))
-            return tuple(new_nodes), tuple(new_sps), t_best, prim_best
-
-        def cond(state):
-            nodes = state[0]
-            live = nodes[0] >= 0
-            for j in range(1, SUBLANES):
-                live = live | (nodes[j] >= 0)
-            return live
-
-        z = jnp.int32(0)
-        nodes0 = tuple(z for _ in range(SUBLANES))
-        sps0 = tuple(z for _ in range(SUBLANES))
-        _, _, t_fin, prim_fin = jax.lax.while_loop(
-            cond, body,
-            (nodes0, sps0, tmax_ref[p],
-             jnp.full((SUBLANES, LANES), -1, jnp.int32)),
-        )
-        t_out[p] = t_fin
-        prim_out[p] = prim_fin
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("n_nodes", "n_leaves"))
-def _run_packets_sub(nodes, leaves, o, d, t_max, n_nodes, n_leaves):
-    n = o.shape[0]
-    n_packets = n // PACKET
-    o_b = o.reshape(n_packets, PACKET, 3).transpose(0, 2, 1).reshape(
-        n_packets, 3, SUBLANES, LANES
-    )
-    d_b = d.reshape(n_packets, PACKET, 3).transpose(0, 2, 1).reshape(
-        n_packets, 3, SUBLANES, LANES
-    )
-    t_b = t_max.reshape(n_packets, SUBLANES, LANES)
-    kernel = _make_kernel_sub(n_nodes, n_leaves)
-    np_pages = nodes.shape[0]
-    t_out, prim_out = pl.pallas_call(
-        kernel,
-        grid=(n_packets,),
-        in_specs=[
-            pl.BlockSpec(
-                (np_pages, NODE_W, 128), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_packets, SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_packets, SUBLANES, LANES), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((SUBLANES, STACK_DEPTH), jnp.int32),
-            pltpu.VMEM((SUBLANES, LEAF_ROW_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((SUBLANES,)),
-        ],
-    )(nodes, leaves, o_b, d_b, t_b)
-    t_flat = t_out.reshape(n_packets * SUBLANES * LANES)
-    p_flat = prim_out.reshape(n_packets * SUBLANES * LANES)
-    return t_flat, p_flat

@@ -59,11 +59,11 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
         img = vp.render(scene, camera, film_cfg, sampler_cfg, cfg, filt)
     elif name == "path":
         # Two engines, identical sample streams on non-subsurface scenes:
-        #   lockstep  — per-spp batch, bounce-unrolled (integrators/path.py)
+        #   lockstep  — per-spp batch, bounce loop (integrators/path.py)
         #   wavefront — persistent lane pool + refill (integrators/wavefront.py)
-        # Default = lockstep: the measured-faster engine on TPU (see
-        # NOTES.md perf ledger; round-2's wavefront default was an ~18x
-        # E2E regression).  Opt into wavefront with PBRT_TPU_ENGINE=wavefront.
+        # Default = lockstep.  (Round-3's recorded engine numbers were
+        # compile artifacts — see BENCH_r04 for the first warm-cache
+        # measurements.)  Opt into wavefront with PBRT_TPU_ENGINE=wavefront.
         import os as _os
 
         cfg = setup.make_integrator_config()

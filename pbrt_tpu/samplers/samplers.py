@@ -49,6 +49,12 @@ class SamplerConfig:
     resolution: tuple  # full image resolution (x, y)
     sample_bounds_min: tuple = (0, 0)
     seed: int = 0
+    # Exact-tables render mode (samplers/exact_tables.py): sample values are
+    # precomputed host-side in f64 exactly as the reference computes them and
+    # shipped to the device as a [N, D] table per spp batch; get_1d/get_2d
+    # then read table[:, dim].  Lockstep engine only (the wavefront's
+    # dynamically refilled lanes would need the whole-render table resident).
+    exact: bool = False
 
     # --- derived (halton) ---
     def halton_setup(self):
@@ -215,6 +221,10 @@ def _maxmin_table():
 
 def get_1d(cfg: SamplerConfig, state, dim: int):
     """Sampler::Get1D at a static dimension.  May mutate state['rng']."""
+    if "table" in state:
+        # Exact-tables mode: host-precomputed f64-exact values (GlobalSampler
+        # flat-dim layout; samplers/exact_tables.py).
+        return state["table"][:, dim]
     if cfg.name == "pss":
         # Primary-sample-space passthrough (MLTSampler, mlt.cpp:53-124):
         # the caller supplies the full uniform vector (mutated by the
@@ -272,6 +282,9 @@ def get_1d(cfg: SamplerConfig, state, dim: int):
 
 
 def get_2d(cfg: SamplerConfig, state, dim: int):
+    if "table" in state:
+        t = state["table"]
+        return jnp.stack([t[:, dim], t[:, dim + 1]], -1)
     if cfg.name == "pss":
         return jnp.stack(
             [get_1d(cfg, state, dim), get_1d(cfg, state, dim + 1)], -1
@@ -339,6 +352,12 @@ def get_1d_dyn(cfg: SamplerConfig, state, dim):
     specular-only vertices, RR dim only when rrBeta < threshold), which the
     static schedule in li_path cannot."""
     dim = jnp.minimum(jnp.asarray(dim, jnp.int32), 1021)  # idle-lane clamp
+    if "table" in state:
+        t = state["table"]
+        idx = jnp.broadcast_to(
+            jnp.clip(dim, 0, t.shape[1] - 1), t.shape[:1]
+        )
+        return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
     if cfg.name == "sobol":
         return ld.sobol_sample_float64idx_dyn(state["hi"], state["lo"], dim)
     if cfg.name == "halton":
@@ -363,6 +382,11 @@ def get_1d_dyn(cfg: SamplerConfig, state, dim):
 
 def get_2d_dyn(cfg: SamplerConfig, state, dim):
     dim = jnp.asarray(dim, jnp.int32)
+    if "table" in state:
+        return jnp.stack(
+            [get_1d_dyn(cfg, state, dim), get_1d_dyn(cfg, state, dim + 1)],
+            axis=-1,
+        )
     if cfg.name == "stratified":
         spp = max(cfg.spp, 1)
         xs, ys = _strat_xy(spp)

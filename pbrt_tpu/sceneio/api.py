@@ -134,7 +134,15 @@ class RenderSetup:
             self.sampler_name, self.sampler_name
         )
         spp = p.find_one_int("pixelsamples", 16)
-        return SamplerConfig(name, spp, self.resolution)
+        import os as _os
+
+        # PBRT_TPU_EXACT_SAMPLER=1: f64-exact host sample tables (parity
+        # mode, samplers/exact_tables.py); lockstep halton renders only.
+        exact = (
+            _os.environ.get("PBRT_TPU_EXACT_SAMPLER", "0") == "1"
+            and name == "halton"
+        )
+        return SamplerConfig(name, spp, self.resolution, exact=exact)
 
     def make_integrator_config(self):
         from ..integrators.path import PathConfig

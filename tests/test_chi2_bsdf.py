@@ -156,9 +156,16 @@ def _chi2_run(mat_type, overrides, wo, seed, mat_types):
     obs = np.concatenate([counts[big], [counts[~big].sum()]])
     exp = np.concatenate([expected[big], [expected[~big].sum()]])
     if exp[-1] < MIN_FREQ:
-        obs, exp = obs[:-1], exp[:-1]
-        # fold the dropped mass into the total: renormalize expected to the
-        # observed total so the dof stay honest.
+        # The pooled low-frequency bucket is itself below MIN_FREQ: fold it
+        # into the largest remaining cell instead of dropping it, so obs and
+        # exp keep equal total mass (dropping it compared unequal totals).
+        obs, pool_o = obs[:-1], obs[-1]
+        exp, pool_e = exp[:-1], exp[-1]
+        j = int(np.argmax(exp))
+        obs = obs.astype(np.float64).copy()
+        exp = exp.astype(np.float64).copy()
+        obs[j] += pool_o
+        exp[j] += pool_e
     chi2 = float(np.sum((obs - exp) ** 2 / np.maximum(exp, 1e-9)))
     dof = len(obs) - 1
     return _chi2_pvalue(chi2, dof), chi2, dof

@@ -67,3 +67,44 @@ def test_packet_kernel_matches_wavefront_interpret():
         np.asarray(t_ref)[both][same_prim],
         rtol=1e-3,
     )
+
+
+@pytest.mark.slow
+def test_packet_kernel_any_mask_interpret():
+    """Kernel any-hit lanes: occlusion boolean matches the closest-hit
+    kernel; non-flagged lanes unchanged (interpret mode)."""
+    from pbrt_tpu.ops import pallas_bvh as pk
+
+    scene = _tri_scene(seed=2)
+    tables = pk.pack_scene_for_kernel(scene)
+    rs = np.random.RandomState(5)
+    n = pk.PACKET
+    o = np.tile(np.array([[0.0, 0.0, -8.0]], np.float32), (n, 1))
+    d = np.array([[0, 0, 1]], np.float32) + rs.randn(n, 3).astype(np.float32) * 0.3
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    mask = jnp.asarray(rs.rand(n) < 0.5)
+
+    import pbrt_tpu.ops.pallas_bvh as mod
+
+    orig = mod.pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    mod.pl.pallas_call = interp_call
+    try:
+        t_c, p_c = pk.intersect_closest_packets(scene, tables, o_j, d_j, 1e30)
+        t_m, p_m = pk.intersect_closest_packets(
+            scene, tables, o_j, d_j, 1e30, any_mask=mask
+        )
+    finally:
+        mod.pl.pallas_call = orig
+
+    mk = np.asarray(mask)
+    np.testing.assert_array_equal(
+        (np.asarray(p_m) >= 0)[mk], (np.asarray(p_c) >= 0)[mk]
+    )
+    np.testing.assert_array_equal(np.asarray(p_m)[~mk], np.asarray(p_c)[~mk])
+    np.testing.assert_array_equal(np.asarray(t_m)[~mk], np.asarray(t_c)[~mk])

@@ -159,3 +159,22 @@ def test_raw_dimension_table(name):
             np.testing.assert_allclose(
                 ours, gold[dim], rtol=0, atol=3e-7, err_msg=f"dim {dim}"
             )
+
+
+def test_halton_exact_tables_bit_match_reference():
+    """samplers/exact_tables.py (f64-exact host tables, the `exact` render
+    mode) must reproduce the reference binary's halton stream BIT-EXACTLY —
+    unlike the in-graph f32 radical inverse (<=2 ulp above), this path does
+    the double accumulate the reference does (lowdiscrepancy.h:50-140)."""
+    from pbrt_tpu.samplers import exact_tables as xt
+
+    gold = _load("halton")
+    cfg = S.SamplerConfig(name="halton", spp=SPP, resolution=(64, 64))
+    out = np.empty((len(PIXELS), SPP, STRIDE), np.float32)
+    for s in range(SPP):
+        tab = xt.halton_exact_table(cfg, PIXELS, s, STRIDE)  # [12, 35]
+        row = tab.copy()
+        row[:, 0] += PIXELS[:, 0]  # pFilm = pixel + Get2D (sampler.cpp:46)
+        row[:, 1] += PIXELS[:, 1]
+        out[:, s, :] = row
+    np.testing.assert_array_equal(out, gold)

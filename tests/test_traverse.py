@@ -126,3 +126,28 @@ def test_reintersect_self_offset():
     t2 = np.asarray(t2)
     same_self_hit = hit & (np.asarray(prim2) == np.asarray(prim)) & (t2 < 1e-4)
     assert not same_self_hit.any()
+
+
+def test_any_mask_mixed_launch():
+    """Per-lane any-hit (merged shadow+extension launches): flagged lanes'
+    hit BOOLEAN matches closest-hit; unflagged lanes in the same launch are
+    bit-identical to a pure closest-hit query."""
+    b = _random_tri_scene(seed=7)
+    scene = b.build()
+    rs = np.random.RandomState(4)
+    n = 256
+    o = rs.randn(n, 3).astype(np.float32) * 4.0
+    d = rs.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    t_ref, p_ref = tv.intersect_closest(scene, oj, dj, 1e30)
+    mask = jnp.asarray(rs.rand(n) < 0.5)
+    t_m, p_m = tv.intersect_closest(scene, oj, dj, 1e30, any_mask=mask)
+    mk = np.asarray(mask)
+    # Flagged lanes: same occlusion boolean (first-hit vs closest-hit).
+    np.testing.assert_array_equal(
+        (np.asarray(p_m) >= 0)[mk], (np.asarray(p_ref) >= 0)[mk]
+    )
+    # Unflagged lanes: identical closest hit.
+    np.testing.assert_array_equal(np.asarray(p_m)[~mk], np.asarray(p_ref)[~mk])
+    np.testing.assert_array_equal(np.asarray(t_m)[~mk], np.asarray(t_ref)[~mk])
