@@ -1,9 +1,16 @@
 """DirectLighting integrator (integrators/directlighting.{h,cpp}).
 
 One-bounce NEE (+specular recursion via the shared wavefront loop with
-max_depth and no indirect diffuse): strategy UniformSampleOne implemented;
-UniformSampleAll iterates every light with its n_samples arrays (TODO:
-sample-array dimension schedule).
+max_depth and no indirect diffuse).  Both strategies:
+
+* "one"  — UniformSampleOneLight (integrator.cpp:85-106).
+* "all"  — UniformSampleAllLights (integrator.cpp:54-84) with the
+  GlobalSampler sample-array semantics (sampler.cpp:136-196): per light j,
+  TWO 2D arrays (uLight, uScattering) of n_samples[j] elements live at
+  dims (5+4j, 5+4j+2); array element (s, k) draws at global sample index
+  s*n_j + k; regular Get dims resume at arrayEndDim = 5 + 4*nLights.
+  n_samples rounds up to a power of two for sobol/(0,2)/maxmin
+  (Sampler::RoundCount, sobol.cpp:69).
 """
 from __future__ import annotations
 
@@ -32,8 +39,13 @@ class DirectLightingConfig:
 
 def li_direct(
     scene, o, d, sampler_cfg, sampler_state, cfg, statics, start_dim=5,
+    pixels=None, sample_num=None, light_ns=(),
 ):
-    """Li for direct lighting: emitted + one NEE estimate (+ specular chain)."""
+    """Li for direct lighting: emitted + NEE (+ specular chain).
+
+    For strategy "all", `pixels`/`sample_num`/`light_ns` drive the
+    sample-array draws (see module docstring); light_ns is the STATIC tuple
+    of per-light sample counts."""
     mat_types = statics.mat_types
     light_types = statics.light_types
     quadric_types = statics.quadric_types
@@ -42,7 +54,12 @@ def li_direct(
     beta = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     specular = jnp.ones((n,), bool)  # camera ray counts Le like specular
+    use_all = cfg.strategy == "all" and light_ns and pixels is not None
     dim = start_dim
+    if use_all:
+        # Regular dims resume after the array block (GlobalSampler::Get2D
+        # skip, sampler.cpp:186-196).
+        dim = start_dim + 4 * len(light_ns)
 
     for depth in range(cfg.max_depth + 1):
         t, prim = tv.intersect_closest(scene, o, d, 1e30, quadric_types)
@@ -68,17 +85,61 @@ def li_direct(
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
         has_bsdf = alive & (rec["material"] >= 0)
 
-        u_select = sa.get_1d(sampler_cfg, sampler_state, dim)
-        u_light = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
-        u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim + 3)
-        dim += 5
         # Only the first non-specular vertex accumulates NEE.
         first_diffuse = has_bsdf & specular
-        ld = common.sample_one_light(
-            scene, rec, frame, mat, wo_local, u_select, u_light, u_scatter,
-            first_diffuse, mat_types, light_types, quadric_types,
-        )
-        L = L + jnp.where(first_diffuse[..., None], beta * ld, 0.0)
+        if use_all and depth == 0:
+            # UniformSampleAllLights: every light, n_j array samples each,
+            # averaged (integrator.cpp:54-84).  Arrays are consumed once
+            # per path (deeper vertices would hit pbrt's exhausted-array
+            # Get2D fallback, which the specular chain never does for NEE).
+            ld = jnp.zeros((n, 3), jnp.float32)
+            for j, nj in enumerate(light_ns):
+                d_light = start_dim + 4 * j
+                d_scat = start_dim + 4 * j + 2
+                acc = jnp.zeros((n, 3), jnp.float32)
+                for k in range(nj):
+                    s_arr = sa.init_state(
+                        sampler_cfg, pixels,
+                        jnp.full(
+                            (n,),
+                            sample_num * jnp.uint32(nj) + jnp.uint32(k),
+                            jnp.uint32,
+                        ),
+                    )
+                    u_l = sa.get_2d(sampler_cfg, s_arr, d_light)
+                    u_s = sa.get_2d(sampler_cfg, s_arr, d_scat)
+                    acc = acc + common.estimate_direct(
+                        scene, rec, frame, mat, wo_local,
+                        jnp.full((n,), j, jnp.int32), u_l, u_s,
+                        first_diffuse, mat_types, light_types, quadric_types,
+                    )
+                ld = ld + acc / float(nj)
+            L = L + jnp.where(first_diffuse[..., None], beta * ld, 0.0)
+        elif use_all:
+            # Exhausted-array fallback (integrator.cpp:66-73): one regular
+            # Get2D pair per light.
+            ld = jnp.zeros((n, 3), jnp.float32)
+            for j in range(len(light_ns)):
+                u_l = sa.get_2d(sampler_cfg, sampler_state, dim)
+                u_s = sa.get_2d(sampler_cfg, sampler_state, dim + 2)
+                dim += 4
+                ld = ld + common.estimate_direct(
+                    scene, rec, frame, mat, wo_local,
+                    jnp.full((n,), j, jnp.int32), u_l, u_s,
+                    first_diffuse, mat_types, light_types, quadric_types,
+                )
+            L = L + jnp.where(first_diffuse[..., None], beta * ld, 0.0)
+        else:
+            u_select = sa.get_1d(sampler_cfg, sampler_state, dim)
+            u_light = sa.get_2d(sampler_cfg, sampler_state, dim + 1)
+            u_scatter = sa.get_2d(sampler_cfg, sampler_state, dim + 3)
+            dim += 5
+            ld = common.sample_one_light(
+                scene, rec, frame, mat, wo_local, u_select, u_light,
+                u_scatter, first_diffuse, mat_types, light_types,
+                quadric_types,
+            )
+            L = L + jnp.where(first_diffuse[..., None], beta * ld, 0.0)
 
         # Specular continuation (SamplerIntegrator::SpecularReflect/Transmit).
         u_bsdf = sa.get_2d(sampler_cfg, sampler_state, dim)
@@ -108,6 +169,13 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=DirectLightingConfig(), fil
     film_state = fm.make_film_state(film_cfg, filt)
     pixels = jnp.asarray(make_pixel_grid(film_cfg))
     statics = scene_statics(scene)
+    light_ns = ()
+    if cfg.strategy == "all":
+        ns = np.asarray(scene.lights.n_samples).astype(int)
+        if sampler_cfg.name in ("sobol", "zerotwosequence", "maxmin"):
+            # Sampler::RoundCount -> RoundUpPow2 (sobol.cpp:69).
+            ns = np.array([1 << max(0, int(x - 1).bit_length()) for x in ns])
+        light_ns = tuple(int(max(x, 1)) for x in ns)
     import jax as _jax
     scene = _jax.device_put(scene)  # one-time upload (see path.render)
     camera = _jax.device_put(camera)
@@ -119,7 +187,8 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg=DirectLightingConfig(), fil
         from ..cameras import generate_rays
 
         o, d, time, weight = generate_rays(camera, p_film, p_lens, time_u)
-        L = li_direct(scene, o, d, sampler_cfg, state, cfg, statics)
+        L = li_direct(scene, o, d, sampler_cfg, state, cfg, statics,
+                      pixels=pixels, sample_num=s, light_ns=light_ns)
         bad = ~jnp.all(jnp.isfinite(L), -1) | jnp.any(L < 0.0, -1)
         L = jnp.where(bad[..., None], 0.0, L)
         return fm.add_samples(film_state, p_film, L, weight)

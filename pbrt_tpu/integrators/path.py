@@ -308,8 +308,12 @@ def _make_bounce_body(
         eta_fac = jnp.where(entering, et * et, 1.0 / jnp.maximum(et * et, 1e-12))
         eta_scale = jnp.where(transmitted, eta_scale * eta_fac, eta_scale)
 
-        o = o_next
-        d = wi_world
+        # Dead/invalid lanes keep their previous (unit) ray: a sampled
+        # wi of exactly zero otherwise flows zero VECTORS into downstream
+        # spherical helpers, whose sqrt(0)-class partials NaN the backward
+        # pass even under masks (round-4 grad hunt).
+        o = jnp.where(alive[..., None], o_next, o)
+        d = jnp.where(alive[..., None], wi_world, d)
 
         # ---- Subsurface scattering (path.cpp:152-174): lanes that sampled
         # a transmission event on a BSSRDF material re-emerge at a sampled
@@ -533,8 +537,12 @@ def _make_scan_body(sampler_cfg, sampler_state, cfg, statics, start_dim):
         )
         eta_scale = jnp.where(transmitted, eta_scale * eta_fac, eta_scale)
 
-        o = o_next
-        d = wi_world
+        # Dead/invalid lanes keep their previous (unit) ray: a sampled
+        # wi of exactly zero otherwise flows zero VECTORS into downstream
+        # spherical helpers, whose sqrt(0)-class partials NaN the backward
+        # pass even under masks (round-4 grad hunt).
+        o = jnp.where(alive[..., None], o_next, o)
+        d = jnp.where(alive[..., None], wi_world, d)
 
         # ---- Russian roulette, masked by bounce > 3 (path.cpp:176-184) ----
         u_rr = sa.get_1d_dyn(sampler_cfg, sampler_state, dim_b + 7)

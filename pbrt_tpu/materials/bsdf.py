@@ -191,14 +191,25 @@ def microfacet_reflection_f(R, ax, ay, wo, wi, fresnel_fn):
     co = abs_cos_theta(wo)
     ci = abs_cos_theta(wi)
     wh = wi + wo
-    degenerate = (ci == 0.0) | (co == 0.0) | (jnp.sum(wh * wh, -1) == 0.0)
+    # Near-grazing lanes (not just exact zeros) are masked AND their inputs
+    # sanitized (double-where): at ci/co ~ 1e-12 the f32 product
+    # d*g/(4 ci co) overflows to inf, which both leaks NaN forward through
+    # the `~refl -> 0 * f` branches of callers and NaNs every 0-cotangent
+    # backward product.  pbrt's corresponding samples die in its
+    # NaN-radiance clamp (integrator.cpp:294) — masking to 0 is the same
+    # observable behavior without the NaN.
+    degenerate = (ci < 1e-8) | (co < 1e-8) | (
+        jnp.sum(wh * wh, -1) < 1e-16
+    )
+    ci_s = jnp.where(degenerate, 1.0, ci)
+    co_s = jnp.where(degenerate, 1.0, co)
     wh = normalize(jnp.where(degenerate[..., None], vec(0.0, 0.0, 1.0), wh))
     # Fresnel with wh faceforwarded to +z (reflection.cpp:441).
     whf = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
     F = fresnel_fn(dot(wi, whf))
     d = mf.tr_d(wh, ax, ay)
     g = mf.tr_g(wo, wi, ax, ay)
-    f = R * F * (d * g / jnp.maximum(4.0 * ci * co, 1e-12))[..., None]
+    f = R * F * (d * g / jnp.maximum(4.0 * ci_s * co_s, 1e-12))[..., None]
     return jnp.where(
         (degenerate | ~same_hemisphere(wo, wi))[..., None], 0.0, f
     )
@@ -473,7 +484,7 @@ def _eval_one(mat, wo, wi, mat_types):
         lam_f = mat["kd"] * INV_PI
         fres = lambda c: fresnel_dielectric(c, 1.5, 1.0)[..., None]
         mfr = microfacet_reflection_f(mat["ks"], mat["ax"], mat["ay"], wo, wi, fres)
-        f_m = jnp.where(refl[..., None], lam_f + mfr, mfr * 0.0)
+        f_m = jnp.where(refl[..., None], lam_f + mfr, 0.0)
         pdf_m = 0.5 * (
             cosine_pdf(wo, wi) + microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi)
         )
@@ -495,7 +506,7 @@ def _eval_one(mat, wo, wi, mat_types):
         n_nonspec = jnp.maximum(
             has_d.astype(jnp.float32) + has_g.astype(jnp.float32), 1.0
         )
-        f_m = jnp.where(refl[..., None], lam_f + mfr, mfr * 0.0)
+        f_m = jnp.where(refl[..., None], lam_f + mfr, 0.0)
         pdf_m = (
             cosine_pdf(wo, wi) * has_d
             + microfacet_reflection_pdf(mat["ax"], mat["ay"], wo, wi) * has_g

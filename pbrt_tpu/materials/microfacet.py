@@ -40,11 +40,14 @@ def roughness_to_alpha(roughness):
 def tr_d(wh, ax, ay):
     """TrowbridgeReitz D (microfacet.cpp:130).
 
-    Grazing wh (tan2 = inf) lanes return 0 exactly as pbrt does; the inf is
-    masked *before* the arithmetic (double-where) so the backward pass stays
-    NaN-free for the differentiable renderer."""
+    Grazing wh lanes return 0: pbrt's own f32 arithmetic degenerates to
+    inf/NaN there and its NaN-radiance clamp eats the sample
+    (integrator.cpp:294).  The mask covers not only tan2 == inf but also
+    large-FINITE tan2 (t2 > 1e12), where (1+e)^2 overflows f32 — the inf
+    intermediate made 0-cotangent backward products NaN (ks/roughness
+    adjoints on deep killeroo bounces, round-4 hunt)."""
     t2 = tan2_theta(wh)
-    fin = jnp.isfinite(t2)
+    fin = jnp.isfinite(t2) & (t2 <= 1e12)
     t2 = jnp.where(fin, t2, 0.0)
     c4 = jnp.where(fin, cos2_theta(wh), 1.0) ** 2
     e = (cos_phi(wh) ** 2 / (ax * ax) + sin_phi(wh) ** 2 / (ay * ay)) * t2
@@ -53,13 +56,22 @@ def tr_d(wh, ax, ay):
 
 
 def tr_lambda(w, ax, ay):
-    """TrowbridgeReitz Lambda (microfacet.cpp:149)."""
+    """TrowbridgeReitz Lambda (microfacet.cpp:149).
+
+    abs_tan is clamped to 1e12: larger finite values overflow
+    (alpha*tan)^2 to inf, and the inf intermediate NaNs the alpha adjoint
+    (0.5/sqrt(inf) * d(a2t2)/d(alpha) = 0 * inf).  Forward is unchanged in
+    effect: G = 1/(1+lam) is already ~0 at lam ~ 1e10."""
     abs_tan = jnp.abs(tan_theta(w))
     fin = jnp.isfinite(abs_tan)
-    abs_tan = jnp.where(fin, abs_tan, 0.0)
-    alpha = jnp.sqrt(
-        cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay
-    )
+    abs_tan = jnp.minimum(jnp.where(fin, abs_tan, 0.0), 1e12)
+    # The 1e-14 floor guards sqrt'(0): zero-vector w (dead lanes carry
+    # d = 0) makes cos_phi = sin_phi = 0, and the unguarded sqrt(0) put
+    # inf*0 = NaN into the ax/ay adjoints of every dead lane (round-4
+    # killeroo grad hunt; real lanes have the sum >= min(ax,ay)^2 >= 1e-6).
+    alpha = jnp.sqrt(jnp.maximum(
+        cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay, 1e-14
+    ))
     a2t2 = (alpha * abs_tan) ** 2
     lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
     return jnp.where(fin, lam, 0.0)
@@ -172,9 +184,10 @@ def tr_pdf_visible(wo, wh, ax, ay):
 
 
 def beckmann_d(wh, ax, ay):
-    """BeckmannDistribution::D (microfacet.cpp:112)."""
+    """BeckmannDistribution::D (microfacet.cpp:112).  Same large-finite-t2
+    overflow mask as tr_d (exp(-inf) backward is 0 * inf = NaN)."""
     t2 = tan2_theta(wh)
-    fin = jnp.isfinite(t2)
+    fin = jnp.isfinite(t2) & (t2 <= 1e12)
     t2 = jnp.where(fin, t2, 0.0)
     c4 = jnp.where(fin, cos2_theta(wh), 1.0) ** 2
     d = jnp.exp(
@@ -188,7 +201,10 @@ def beckmann_lambda(w, ax, ay):
     abs_tan = jnp.abs(tan_theta(w))
     fin = jnp.isfinite(abs_tan)
     abs_tan = jnp.where(fin, abs_tan, 0.0)
-    alpha = jnp.sqrt(cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay)
+    # sqrt'(0) guard for zero-vector w — see tr_lambda.
+    alpha = jnp.sqrt(jnp.maximum(
+        cos_phi(w) ** 2 * ax * ax + sin_phi(w) ** 2 * ay * ay, 1e-14
+    ))
     a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-12)
     lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
     lam = jnp.where(a >= 1.6, 0.0, lam)

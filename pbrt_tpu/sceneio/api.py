@@ -476,8 +476,11 @@ class PbrtApi:
             kw["roughness"] = ps.find_one_float("uroughness", 0.0)
         elif name == "metal":
             mt = sc.MAT_METAL
-            kw["metal_eta"] = ps.find_one_spectrum("eta", (0.2004, 0.9240, 1.1022))
-            kw["metal_k"] = ps.find_one_spectrum("k", (3.9129, 2.4528, 2.1421))
+            from ..core.sampled_spectrum import copper_eta_k_rgb
+
+            cu_eta, cu_k = copper_eta_k_rgb()
+            kw["metal_eta"] = ps.find_one_spectrum("eta", tuple(cu_eta))
+            kw["metal_k"] = ps.find_one_spectrum("k", tuple(cu_k))
             kw["roughness"] = ps.find_one_float("roughness", 0.01)
             kw["remap_roughness"] = ps.find_one_bool("remaproughness", True)
         elif name == "uber":

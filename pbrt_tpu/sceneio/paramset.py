@@ -74,7 +74,13 @@ class ParamSet:
         return np.asarray(v[1][:3] if v else default, np.float32)
 
     def find_one_spectrum(self, name, default):
-        """RGB / color / spectrum-ish single value -> rgb triple."""
+        """RGB / color / spectrum / blackbody parameter -> rgb triple.
+
+        "spectrum" values are (lambda, value) SPD pairs or an .spd filename
+        (paramset.cpp:378-402) resolved through the full SampledSpectrum
+        machinery (core/sampled_spectrum.py: FromSampled -> XYZ -> RGB),
+        exactly as pbrt's RGB build converts them; "blackbody" is
+        BlackbodyNormalized over the CIE range (paramset.cpp:404-417)."""
         v = self._get(name)
         if not v:
             if default is None:
@@ -84,10 +90,26 @@ class ParamSet:
                 return d
             return np.full(3, float(default), np.float32)
         ptype, vals = v
+        from ..core import sampled_spectrum as ss
+
         if ptype == "blackbody":
-            return _blackbody_rgb(float(vals[0])) * (
+            return ss.blackbody_rgb_normalized(float(vals[0])) * (
                 float(vals[1]) if len(vals) > 1 else 1.0
             )
+        if ptype == "spectrum":
+            if vals and isinstance(vals[0], str):
+                path = vals[0]
+                if getattr(self, "cwd", None):
+                    import os
+
+                    cand = os.path.join(self.cwd, path)
+                    if os.path.exists(cand):
+                        path = cand
+                lam, sv = ss.read_spd_file(path)
+            else:
+                arr = np.asarray(vals, np.float64).reshape(-1, 2)
+                lam, sv = arr[:, 0], arr[:, 1]
+            return ss.spd_to_rgb(lam, sv)
         arr = np.asarray(vals, np.float32)
         if arr.size == 1:
             return np.full(3, float(arr), np.float32)
@@ -157,21 +179,3 @@ class TextureParams:
 
     def get_texture_name(self, name):
         return self.geom.find_texture(name) or self.material.find_texture(name)
-
-
-def _blackbody_rgb(temp_k: float) -> np.ndarray:
-    """Planck blackbody -> normalized RGB (spectrum.cpp BlackbodyNormalized,
-    coarse 32-sample CIE integration)."""
-    lam = np.linspace(400e-9, 700e-9, 32)
-    h, c, kb = 6.62607004e-34, 2.99792458e8, 1.38064852e-23
-    le = (2 * h * c * c) / (
-        lam**5 * (np.exp(h * c / (lam * kb * max(temp_k, 1.0))) - 1.0)
-    )
-    le = le / le.max()
-    # Cheap RGB: piecewise weights approximating CIE -> sRGB.
-    x = (lam - 400e-9) / 300e-9
-    r = np.clip(1.5 * (x - 0.33), 0, 1)
-    g = np.clip(1.0 - np.abs(x - 0.5) * 3, 0, 1)
-    b = np.clip(1.0 - 2.2 * x, 0, 1)
-    rgb = np.array([np.sum(le * r), np.sum(le * g), np.sum(le * b)])
-    return (rgb / max(rgb.max(), 1e-9)).astype(np.float32)

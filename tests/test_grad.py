@@ -161,7 +161,10 @@ def test_grad_camera_pose_matches_fd():
         m = c.camera_to_world.at[0, 3].add(e)  # camera leaves are jnp
         return s, c.replace(camera_to_world=m)
 
-    fd = _fd(loss, scene, camera, set_eps, 2e-3)
+    # eps must clear the loss's f32 quantization: the summed loss is ~128,
+    # so a 2e-3 step changes it by ~1 ulp and the FD quotient is noise
+    # (measured: FD converges to AD within 2% at eps 0.05, see NOTES r4).
+    fd = _fd(loss, scene, camera, set_eps, 5e-2)
     assert abs(ad) > 1e-3
     _check(ad, fd, rtol=0.05)
 

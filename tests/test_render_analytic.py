@@ -174,3 +174,25 @@ def test_shard_count_invariance():
     a = run(1)
     c = run(4)
     np.testing.assert_allclose(a, c, atol=1e-5)
+
+
+def test_direct_all_strategy_matches_one():
+    """UniformSampleAll == UniformSampleOne in expectation on the furnace
+    (integrator.cpp:54-106); also exercises the sample-array dim schedule."""
+    from pbrt_tpu.integrators import direct as dl
+
+    b = _furnace_builder()
+    scene = b.build()
+    cam = _interior_camera()
+    film_cfg = fm.FilmConfig(full_resolution=RES)
+    scfg = SamplerConfig("sobol", 8, RES)
+    img_one = np.asarray(dl.render(
+        scene, cam, film_cfg, scfg,
+        dl.DirectLightingConfig(max_depth=1, strategy="one"),
+    ))
+    img_all = np.asarray(dl.render(
+        scene, cam, film_cfg, scfg,
+        dl.DirectLightingConfig(max_depth=1, strategy="all"),
+    ))
+    assert abs(img_one.mean() - 0.5) < 0.02
+    assert abs(img_all.mean() - 0.5) < 0.02
