@@ -10,8 +10,8 @@ scenes/killeroo-simple.pbrt at 400x400 @ 8spp, path depth 5, halton sampler
 (film included) by BOTH engines:
   lockstep  — per-spp batch, bounce-unrolled (integrators/path.py)
   wavefront — persistent lane pool + refill (integrators/wavefront.py)
-The headline value is the FASTER engine (which is also what render.py
-dispatches to by default); both engines' numbers are in "detail".
+The headline value is the FASTER engine; both engines' numbers are in
+"detail" (render.py defaults to lockstep; PBRT_TPU_ENGINE=wavefront opts in).
 
 vs_baseline compares against the BEST prior recorded run (max over
 BENCH_r*.json), not the most recent — a recovery from a regression must not

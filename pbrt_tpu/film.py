@@ -184,10 +184,15 @@ def add_samples(state: FilmState, p_film, L, sample_weight=None, mask=None):
     ixc = jnp.clip(ix, 0, w - 1) + jnp.zeros_like(iy)
     iyc = jnp.clip(iy, 0, h - 1) + jnp.zeros_like(ix)
 
-    flat_idx = (iyc * w + ixc).reshape(-1)
-    contrib = (wgt[..., None] * L[:, None, None, :]).reshape(-1, 3)
+    # Scatter with the MULTI-DIM [N,F,F] index/source operands directly:
+    # a `.reshape(-1)` on a scatter operand sends this backend's compiler
+    # down a pathological path (+50s compile PER reshaped operand; measured
+    # round 4: reshaped film scatter 161s vs 7s multi-dim — the single
+    # largest piece of the render step's compile time).
+    flat_idx = iyc * w + ixc  # [N, F, F]
+    contrib = wgt[..., None] * L[:, None, None, :]  # [N, F, F, 3]
     weighted = state.weighted_sum.reshape(-1, 3).at[flat_idx].add(contrib)
-    weights = state.weight_sum.reshape(-1).at[flat_idx].add(wgt.reshape(-1))
+    weights = state.weight_sum.reshape(-1).at[flat_idx].add(wgt)
     return state.replace(
         weighted_sum=weighted.reshape(h, w, 3), weight_sum=weights.reshape(h, w)
     )

@@ -588,9 +588,10 @@ def render_sample_batch(
 ):
     """One sample per pixel: the jitted unit of work (SURVEY.md P1).
 
-    pixels: [N,2] int32; sample_num: scalar int32.  exact_table [N,D]
-    (optional): host-precomputed f64-exact sample values — samplers read
-    table[:, dim] instead of recomputing (samplers/exact_tables.py).
+    pixels: [N,2] int32; sample_num: scalar int32.  exact_table [D,N]
+    (optional): host-precomputed exact sample values, one contiguous
+    lane-row per dimension — samplers read table[dim] instead of
+    recomputing (samplers/exact_tables.py).
     """
     from ..utils import stats as st
 
@@ -600,6 +601,19 @@ def render_sample_batch(
     )
     if exact_table is not None:
         state = dict(state, table=exact_table)
+    elif sampler_cfg.name == "halton":
+        # Precompute the batch's halton dims ONCE with the static per-dim
+        # form (baked per-prime permutation constants; measured 200ms vs
+        # 425ms for the scan body's dynamic-dim draws at 160k lanes) and
+        # let every later get_* read table[:, dim].  Values are identical
+        # either way (both are the same radical-inverse math).
+        n_dims = 5 + sum(
+            _dims_per_bounce(b, statics.mat_types) for b in range(cfg.max_depth)
+        ) + 1
+        tab = jnp.stack(
+            [sa.get_1d(sampler_cfg, state, dd) for dd in range(n_dims)], 0
+        )  # [D, N]: one contiguous row per dim
+        state = dict(state, table=tab)
     p_film, time_u, p_lens = sa.get_camera_sample(sampler_cfg, state, pixels)
     from ..cameras import generate_ray_differentials
 
@@ -677,8 +691,10 @@ def render(
     # stays host-side); passing them to jit directly re-uploads the whole
     # scene through the (remote) device tunnel EVERY call — measured ~300ms
     # per 17MB killeroo scene per step on the axon TPU.
-    scene = jax.device_put(scene)
-    camera = jax.device_put(camera)
+    from ..utils.devcache import device_put_cached
+
+    scene = device_put_cached(scene)
+    camera = device_put_cached(camera)
 
     start = 0
     if checkpoint_path:
@@ -702,8 +718,8 @@ def render(
     for s in range(start, sampler_cfg.spp):
         if exact:
             tab = jnp.asarray(
-                xt.halton_exact_table(sampler_cfg, pixels_np, s, n_dims)
-            )
+                xt.halton_exact_table(sampler_cfg, pixels_np, s, n_dims).T
+            )  # [D, N]
             out = step(scene, camera, film_state, pixels, jnp.uint32(s),
                        exact_table=tab)
         else:

@@ -372,8 +372,10 @@ def render(
         from ..lights.lightdistrib import ensure_spatial_light_distribution
 
         scene = ensure_spatial_light_distribution(scene, statics.light_types)
-    scene = jax.device_put(scene)
-    camera = jax.device_put(camera)
+    from ..utils.devcache import device_put_cached
+
+    scene = device_put_cached(scene)
+    camera = device_put_cached(camera)
 
     n_pix = int(pixels.shape[0])
     total = n_pix * sampler_cfg.spp

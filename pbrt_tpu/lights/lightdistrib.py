@@ -254,15 +254,28 @@ def spatial_pick_light(grid_res, b0, diag, cdf, pmf, p, u):
     return idx, jnp.maximum(prob, 1e-20)
 
 
+# Prepared-scene cache keyed by the input scene's object identity: pbrt
+# builds the spatial grid ONCE per scene (integrator Preprocess); without
+# this, every render() call re-ran the 13s host build of the 64^3 voxel
+# grid (measured on killeroo — it was most of the bench's warm-render gap).
+_SPATIAL_CACHE: dict = {}
+
+
 def ensure_spatial_light_distribution(scene, light_types):
     """Host-side: fill the spatial-* SceneArrays fields (no-op if present).
-    Call before jax.device_put / the first jitted render step."""
+    Call before jax.device_put / the first jitted render step.  Memoized on
+    the scene object's identity (SceneArrays leaves are immutable in
+    practice); holds the last few prepared scenes."""
     import dataclasses
 
     if scene.spatial_cdf is not None:
         return scene
+    key = id(scene)
+    hit = _SPATIAL_CACHE.get(key)
+    if hit is not None and hit[0] is scene:
+        return hit[1]
     res, b0, diag, cdf, pmf = build_spatial_distribution(scene, light_types)
-    return dataclasses.replace(
+    out = dataclasses.replace(
         scene,
         spatial_grid_res=res,
         spatial_b0=b0,
@@ -270,3 +283,7 @@ def ensure_spatial_light_distribution(scene, light_types):
         spatial_cdf=cdf,
         spatial_pmf=pmf,
     )
+    if len(_SPATIAL_CACHE) > 4:
+        _SPATIAL_CACHE.clear()
+    _SPATIAL_CACHE[key] = (scene, out)
+    return out

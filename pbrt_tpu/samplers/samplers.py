@@ -50,9 +50,9 @@ class SamplerConfig:
     sample_bounds_min: tuple = (0, 0)
     seed: int = 0
     # Exact-tables render mode (samplers/exact_tables.py): sample values are
-    # precomputed host-side in f64 exactly as the reference computes them and
-    # shipped to the device as a [N, D] table per spp batch; get_1d/get_2d
-    # then read table[:, dim].  Lockstep engine only (the wavefront's
+    # precomputed host-side exactly as the reference computes them and
+    # shipped to the device as a [D, N] table per spp batch; get_1d/get_2d
+    # then read table[dim].  Lockstep engine only (the wavefront's
     # dynamically refilled lanes would need the whole-render table resident).
     exact: bool = False
 
@@ -222,9 +222,10 @@ def _maxmin_table():
 def get_1d(cfg: SamplerConfig, state, dim: int):
     """Sampler::Get1D at a static dimension.  May mutate state['rng']."""
     if "table" in state:
-        # Exact-tables mode: host-precomputed f64-exact values (GlobalSampler
-        # flat-dim layout; samplers/exact_tables.py).
-        return state["table"][:, dim]
+        # Tables mode ([D, N]: one contiguous lane-row per dimension) —
+        # exact host tables (samplers/exact_tables.py) or the per-batch
+        # device-precomputed halton table (integrators/path.py).
+        return state["table"][dim]
     if cfg.name == "pss":
         # Primary-sample-space passthrough (MLTSampler, mlt.cpp:53-124):
         # the caller supplies the full uniform vector (mutated by the
@@ -284,7 +285,7 @@ def get_1d(cfg: SamplerConfig, state, dim: int):
 def get_2d(cfg: SamplerConfig, state, dim: int):
     if "table" in state:
         t = state["table"]
-        return jnp.stack([t[:, dim], t[:, dim + 1]], -1)
+        return jnp.stack([t[dim], t[dim + 1]], -1)
     if cfg.name == "pss":
         return jnp.stack(
             [get_1d(cfg, state, dim), get_1d(cfg, state, dim + 1)], -1
@@ -353,11 +354,20 @@ def get_1d_dyn(cfg: SamplerConfig, state, dim):
     static schedule in li_path cannot."""
     dim = jnp.minimum(jnp.asarray(dim, jnp.int32), 1021)  # idle-lane clamp
     if "table" in state:
-        t = state["table"]
-        idx = jnp.broadcast_to(
-            jnp.clip(dim, 0, t.shape[1] - 1), t.shape[:1]
-        )
-        return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+        t = state["table"]  # [D, N]
+        d = jnp.clip(dim, 0, t.shape[0] - 1)
+        if d.ndim == 0:
+            # Scalar dim (the lax.scan bounce body): one dynamic ROW slice
+            # of the [D, N] table — contiguous lanes, no gather.
+            import jax as _jax
+
+            return _jax.lax.dynamic_index_in_dim(
+                t, d, axis=0, keepdims=False
+            )
+        # Per-lane dims (unused today: the wavefront does not run tables).
+        return jnp.take_along_axis(
+            t, jnp.broadcast_to(d, t.shape[1:])[None, :], axis=0
+        )[0]
     if cfg.name == "sobol":
         return ld.sobol_sample_float64idx_dyn(state["hi"], state["lo"], dim)
     if cfg.name == "halton":

@@ -85,7 +85,10 @@ def main():
     def shade_math(scene, o, d, t, prim, s):
         rec = tv.hit_record(scene, o, d, t, prim, qt)
         state = sa.init_state(sampler_cfg, pixels, jnp.full((n,), s, jnp.uint32))
-        mat = bx.gather_material(scene.materials, rec["material"], None)
+        mat = bx.gather_material(
+            scene.materials, rec["material"], None, statics.mat_types,
+            uv=rec["uv"],
+        )
         frame = bx.make_frame(rec["ns"], rec["dpdu"])
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
@@ -120,6 +123,53 @@ def main():
 
     timeit("li_path depth-1", fullpath(1), scene, o, d, jnp.uint32(0))
     timeit("li_path depth-5", fullpath(5), scene, o, d, jnp.uint32(0))
+
+    # ---- full 160k-pixel sample batch, film included (the bench's jitted
+    # unit of work) — round-3 verdict item 1's per-stage extension ----
+    from pbrt_tpu.integrators import path as pt
+    from pbrt_tpu.filters import make_filter
+
+    full_pixels = jnp.asarray(make_pixel_grid(film_cfg))
+    film_state = fm.make_film_state(film_cfg, make_filter("box"))
+    step = pt._step_fn(sampler_cfg, PathConfig(max_depth=5), statics, False)
+    timeit(
+        "render_sample_batch 160k d5",
+        lambda s: step(scene, camera, film_state, full_pixels, s),
+        jnp.uint32(0),
+    )
+
+    nfull = full_pixels.shape[0]
+
+    @jax.jit
+    def raygen_full(pixels, s):
+        state = sa.init_state(
+            sampler_cfg, pixels, jnp.full((nfull,), s, jnp.uint32)
+        )
+        p_film, time_u, p_lens = sa.get_camera_sample(sampler_cfg, state, pixels)
+        o, d, _, _ = generate_rays(camera, p_film, p_lens, time_u)
+        return o, d
+
+    o_f, d_f = timeit("raygen 160k", raygen_full, full_pixels, jnp.uint32(0))
+
+    @jax.jit
+    def closest_full(o, d):
+        return tv.intersect_closest(scene, o, d, 1e30, qt)
+
+    timeit("closest-hit 160k", closest_full, o_f, d_f)
+
+    def fullpath_160k(depth):
+        cfg = PathConfig(max_depth=depth)
+
+        @jax.jit
+        def run(scene, o, d, s):
+            state = sa.init_state(
+                sampler_cfg, full_pixels, jnp.full((nfull,), s, jnp.uint32)
+            )
+            return li_path(scene, o, d, sampler_cfg, state, cfg, statics)
+
+        return run
+
+    timeit("li_path 160k d5", fullpath_160k(5), scene, o_f, d_f, jnp.uint32(0))
 
 
 if __name__ == "__main__":
