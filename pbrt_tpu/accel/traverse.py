@@ -486,6 +486,27 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
     p_t = tri["p_hit"]
     perr_t = tri["p_error"]
 
+    # Shading tangent `ss` (triangle.cpp:365-381): for meshes WITH shading
+    # normals pbrt RE-ORTHOGONALIZES ss against the interpolated normal
+    # (ts = ss x ns; ss = ts x ns); the BSDF frame is built from that
+    # adjusted tangent (shading.dpdu).  Skipping the adjustment rotated
+    # every sampled direction at curved-mesh hits and was the DOMINANT
+    # vs-reference path-decoherence source (round-4 first-divergence
+    # instrument: 74% of divergent paths flipped by direction at the first
+    # mesh bounce).  Meshes without normals and quadrics keep
+    # shading == geometric (pbrt never calls SetShadingGeometry there).
+    from ..core.vecmath import coordinate_system as _csys
+
+    dp_l2 = jnp.sum(dpdu_t * dpdu_t, axis=-1, keepdims=True)
+    ss_raw = dpdu_t / jnp.sqrt(jnp.where(dp_l2 > 0, dp_l2, 1.0))
+    ts_raw = jnp.cross(ss_raw, ns_t)
+    ts_l2 = jnp.sum(ts_raw * ts_raw, axis=-1, keepdims=True)
+    ok_f = ts_l2 > 0.0
+    ts_u = ts_raw / jnp.sqrt(jnp.where(ok_f, ts_l2, 1.0))
+    ss_adj = jnp.cross(ts_u, ns_t)
+    fb_ss, _ = _csys(ns_t)
+    ss_t = jnp.where(ok_f, ss_adj, fb_ss)
+
     # Defaults are *unit* frames (not zeros): miss lanes are masked out
     # downstream, but zero normals would send NaNs through normalize() in
     # the backward pass (masked-lane NaN gradients).
@@ -500,6 +521,11 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
     dpdu = jnp.where(is_tri[..., None], dpdu_t, unit_x)
     unit_y = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), p_t.shape)
     dpdv = jnp.where(is_tri[..., None], dpdv_t, unit_y)
+    # ss: adjusted only on normal-carrying mesh lanes; elsewhere the raw
+    # dpdu (the BSDF frame normalizes it, reflection.h:166).
+    ss_sh = jnp.where(
+        (is_tri & has_n)[..., None], ss_t, dpdu
+    )
 
     if quadric_types:
         qidx = jnp.clip(pidx, 0, scene.q_type.shape[0] - 1)
@@ -539,6 +565,7 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
             tq, bq = coordinate_system(jnp.where(m[..., None], ngq, ns))
             dpdu = jnp.where(m[..., None], tq, dpdu)
             dpdv = jnp.where(m[..., None], bq, dpdv)
+            ss_sh = jnp.where(m[..., None], tq, ss_sh)
 
     return {
         "hit": hit,
@@ -551,6 +578,7 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
         "p_error": p_err,
         "dpdu": dpdu,
         "dpdv": dpdv,
+        "ss": ss_sh,
         "wo": -d,
         "material": jnp.where(hit, meta[..., 2], -1),
         "arealight": jnp.where(hit, meta[..., 3], -1),

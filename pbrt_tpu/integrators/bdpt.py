@@ -88,6 +88,7 @@ def _surface_vertex(scene, rec, beta, statics):
         "ng": rec["ng"],
         "ns": rec["ns"],
         "dpdu": rec["dpdu"],
+        "ss": rec["ss"],
         "uv": rec["uv"],
         "wo": rec["wo"],
         "mat": mat,
@@ -103,7 +104,7 @@ def _surface_vertex(scene, rec, beta, statics):
 
 def _vertex_f(v, p_next, statics):
     """Vertex::f: BSDF value from v toward p_next (radiance transport)."""
-    frame = bx.make_frame(v["ns"], v["dpdu"])
+    frame = bx.frame_from_rec(v)
     ss, ts_, ns = frame
     wo_l = bx.to_local(ss, ts_, ns, v["wo"])
     wi_w = normalize(p_next - v["p"])
@@ -115,7 +116,7 @@ def _vertex_f(v, p_next, statics):
 def _vertex_pdf(v, p_prev, p_next, ng_next, next_is_surface, statics):
     """Vertex::Pdf (surface vertex): bsdf pdf(prev->v->next) in area measure
     at next."""
-    frame = bx.make_frame(v["ns"], v["dpdu"])
+    frame = bx.frame_from_rec(v)
     ss, ts_, ns = frame
     wo_l = bx.to_local(ss, ts_, ns, normalize(p_prev - v["p"]))
     wi_l = bx.to_local(ss, ts_, ns, normalize(p_next - v["p"]))
@@ -151,7 +152,7 @@ def _random_walk(scene, o, d, beta, pdf_dir, n_steps, sampler_cfg, state,
         # BSDF sample for the next step (2 dims).
         u = sa.get_2d(sampler_cfg, state, dim)
         dim += 2
-        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        frame = bx.frame_from_rec(rec)
         ss, ts_, ns = frame
         wo_l = bx.to_local(ss, ts_, ns, rec["wo"])
         bs = bx.sample_material(v["mat"], wo_l, u, statics.mat_types)

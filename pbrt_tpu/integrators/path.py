@@ -238,7 +238,7 @@ def _make_bounce_body(
             duv = tv.uv_differentials(rec, *ray_diffs)
         tex_vals = eval_scene_textures(scene, rec, statics, duv=duv)
         mat = bx.gather_material(scene.materials, rec["material"], tex_vals, mat_types, uv=rec["uv"])
-        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        frame = bx.frame_from_rec(rec)
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
         has_bsdf = alive & (rec["material"] >= 0)
@@ -480,7 +480,7 @@ def _make_scan_body(sampler_cfg, sampler_state, cfg, statics, start_dim):
             scene.materials, rec["material"], tex_vals, mat_types,
             uv=rec["uv"],
         )
-        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        frame = bx.frame_from_rec(rec)
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
         has_bsdf = alive & (rec["material"] >= 0)

@@ -127,7 +127,7 @@ def render(scene, camera, film_cfg, sampler_cfg, cfg: SpectralConfig = SpectralC
             mat = bx.gather_material(
                 scene.materials, rec["material"], None, mtypes, uv=rec["uv"]
             )
-            frame = bx.make_frame(rec["ns"], rec["dpdu"])
+            frame = bx.frame_from_rec(rec)
             sxv, tsv, nsv = frame
             has = alive & (rec["material"] >= 0)
             kd_lane = kd_s[jnp.clip(rec["material"], 0, kd_s.shape[0] - 1)]

@@ -91,6 +91,7 @@ def _camera_pass(scene, camera, pixels, s_cfg, sample_num, cfg, statics):
         "beta": jnp.zeros((n, 3), jnp.float32),
         "ns": jnp.zeros((n, 3), jnp.float32),
         "dpdu": jnp.zeros((n, 3), jnp.float32),
+        "ss": jnp.zeros((n, 3), jnp.float32),
         "mat_id": jnp.full((n,), -1, jnp.int32),
         "uv": jnp.zeros((n, 2), jnp.float32),
     }
@@ -109,7 +110,7 @@ def _camera_pass(scene, camera, pixels, s_cfg, sample_num, cfg, statics):
             scene.materials, rec["material"], None, statics.mat_types,
             uv=rec["uv"],
         )
-        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        frame = bx.frame_from_rec(rec)
         ss, ts_, ns = frame
         wo_l = bx.to_local(ss, ts_, ns, rec["wo"])
 
@@ -132,9 +133,9 @@ def _camera_pass(scene, camera, pixels, s_cfg, sample_num, cfg, statics):
             (mt == MAT_GLASS) & ~mat["is_rough"]
         )
         make_vp = found & ~is_spec_mat & ~vp["exists"]
-        for k in ("p", "wo", "ns", "dpdu"):
+        for k in ("p", "wo", "ns", "dpdu", "ss"):
             src = {"p": rec["p"], "wo": rec["wo"], "ns": rec["ns"],
-                   "dpdu": rec["dpdu"]}[k]
+                   "dpdu": rec["dpdu"], "ss": rec["ss"]}[k]
             vp[k] = jnp.where(make_vp[..., None], src, vp[k])
         vp["uv"] = jnp.where(make_vp[..., None], rec["uv"], vp["uv"])
         vp["beta"] = jnp.where(make_vp[..., None], beta, vp["beta"])
@@ -191,7 +192,7 @@ def _photon_pass(scene, n_photons, it, cfg, statics, key):
             scene.materials, rec["material"], None, statics.mat_types,
             uv=rec["uv"],
         )
-        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        frame = bx.frame_from_rec(rec)
         ss, ts_, ns = frame
         wo_l = bx.to_local(ss, ts_, ns, rec["wo"])
         ub = u[:, 5 + 2 * b : 7 + 2 * b]
@@ -239,7 +240,7 @@ def _gather(scene, vp, radius, photons, inv_cell, statics):
     mat = bx.gather_material(
         scene.materials, vp["mat_id"], None, statics.mat_types, uv=vp["uv"]
     )
-    frame = bx.make_frame(vp["ns"], vp["dpdu"])
+    frame = bx.frame_from_rec(vp)
     ss, ts_, ns = frame
     wo_l = bx.to_local(ss, ts_, ns, vp["wo"])
     vcell = _cell_of(vp["p"], inv_cell)

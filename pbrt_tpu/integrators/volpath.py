@@ -292,7 +292,7 @@ def li_volpath(
         # Surface branch (same as path.py).
         tex_vals = eval_scene_textures(scene, rec, statics)
         mat = bx.gather_material(scene.materials, rec["material"], tex_vals, statics.mat_types, uv=rec["uv"])
-        frame = bx.make_frame(rec["ns"], rec["dpdu"])
+        frame = bx.frame_from_rec(rec)
         ss, ts, ns = frame
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
         surf = alive & ~in_medium & rec["hit"]

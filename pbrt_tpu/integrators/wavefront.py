@@ -145,7 +145,7 @@ def _iteration(state, scene, camera, sampler_cfg, cfg, statics, pixels):
         )
     tex_vals = eval_scene_textures(scene, rec, statics, duv=duv)
     mat = bx.gather_material(scene.materials, rec["material"], tex_vals, mat_types, uv=rec["uv"])
-    frame = bx.make_frame(rec["ns"], rec["dpdu"])
+    frame = bx.frame_from_rec(rec)
     ss, ts, ns = frame
     wo_local = bx.to_local(ss, ts, ns, rec["wo"])
     has_bsdf = alive & (rec["material"] >= 0)

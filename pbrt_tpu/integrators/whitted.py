@@ -42,7 +42,7 @@ def li_whitted(scene, o, d, sampler_cfg, sampler_state, cfg, statics, start_dim=
 
         tex_vals = eval_scene_textures(scene, rec, statics)
         mat = bx.gather_material(scene.materials, rec["material"], tex_vals, statics.mat_types, uv=rec["uv"])
-        ss, ts, ns = bx.make_frame(rec["ns"], rec["dpdu"])
+        ss, ts, ns = bx.frame_from_rec(rec)
         wo_local = bx.to_local(ss, ts, ns, rec["wo"])
         has_bsdf = alive & (rec["material"] >= 0)
 

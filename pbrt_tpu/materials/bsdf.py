@@ -69,6 +69,13 @@ def make_frame(ns, dpdu):
     return ss, ts, ns
 
 
+def frame_from_rec(rec):
+    """BSDF frame from a hit record: uses the pbrt shading tangent
+    (rec["ss"], the triangle.cpp:365-381 re-orthogonalized tangent on
+    normal-carrying meshes) when present, else the raw dpdu."""
+    return make_frame(rec["ns"], rec.get("ss", rec["dpdu"]))
+
+
 def to_local(ss, ts, ns, v):
     return jnp.stack([dot(v, ss), dot(v, ts), dot(v, ns)], axis=-1)
 

@@ -335,10 +335,11 @@ class SceneBuilder:
         if object_to_world is not None and not object_to_world.is_identity():
             p = object_to_world.apply_point(p).astype(np.float32)
             if n is not None:
+                # Inverse-transpose transform, NO per-vertex normalization:
+                # pbrt stores raw transformed normals (triangle.cpp:54) and
+                # normalizes only the interpolated sum at hit time — the
+                # magnitudes are blend weights.
                 n = object_to_world.apply_normal(np.asarray(n, np.float32))
-                n = n / np.maximum(
-                    np.linalg.norm(n, axis=-1, keepdims=True), 1e-20
-                )
         nv = p.shape[0]
         nt = indices.shape[0]
         has_n = n is not None

@@ -174,32 +174,49 @@ def loop_subdivide(indices: np.ndarray, p: np.ndarray, n_levels: int):
     edge_faces = _build_adjacency(faces, n_verts)
     rings, boundary = _vertex_rings(faces, n_verts, edge_faces)
 
+    # Pass 1: push EVERY vertex to the limit surface (loopsubdiv.cpp:333-341
+    # assigns v->p = pLimit BEFORE the tangent loop)...
     p_limit = np.zeros_like(p)
-    normals = np.zeros_like(p)
     for v in range(n_verts):
         ring = rings[v]
         val = len(ring)
         if val == 0:
             p_limit[v] = p[v]
-            normals[v] = (0, 0, 1)
             continue
         pr = p[ring]
         if not boundary[v]:
             g = _loop_gamma(val)
             p_limit[v] = (1 - val * g) * p[v] + g * pr.sum(0)
+        else:
+            b = 1.0 / 5.0
+            p_limit[v] = (1 - 2 * b) * p[v] + b * (pr[0] + pr[-1])
+
+    # Pass 2: tangents from the LIMIT-position one-rings (oneRing reads the
+    # already-pushed v->p, loopsubdiv.cpp:344-378).  Using the pre-limit
+    # positions here skewed every limit normal by up to ~24 degrees on
+    # killeroo — the dominant path-decoherence source vs the reference
+    # (round-4 subdiv dump comparison: P exact, N wrong on 99.8% of verts).
+    normals = np.zeros_like(p)
+    for v in range(n_verts):
+        ring = rings[v]
+        val = len(ring)
+        if val == 0:
+            normals[v] = (0, 0, 1)
+            continue
+        pr = p_limit[ring]
+        if not boundary[v]:
             j = np.arange(val)
             S = (np.cos(2 * np.pi * j / val)[:, None] * pr).sum(0)
             T = (np.sin(2 * np.pi * j / val)[:, None] * pr).sum(0)
         else:
-            b = 1.0 / 5.0
-            p_limit[v] = (1 - 2 * b) * p[v] + b * (pr[0] + pr[-1])
             S = pr[-1] - pr[0]
             if val == 2:
-                T = pr[0] + pr[1] - 2 * p[v]
+                T = pr[0] + pr[1] - 2 * p_limit[v]
             elif val == 3:
-                T = pr[1] - p[v]
+                T = pr[1] - p_limit[v]
             elif val == 4:
-                T = -1 * pr[0] + 2 * pr[1] + 2 * pr[2] - 1 * pr[3] - 2 * p[v]
+                T = (-1 * pr[0] + 2 * pr[1] + 2 * pr[2] - 1 * pr[3]
+                     - 2 * p_limit[v])
             else:
                 theta = np.pi / (val - 1)
                 T = np.sin(theta) * (pr[0] + pr[-1])
@@ -209,8 +226,9 @@ def loop_subdivide(indices: np.ndarray, p: np.ndarray, n_levels: int):
                 T = -T
         normals[v] = np.cross(S, T)
 
-    nl = np.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = normals / np.maximum(nl, 1e-20)
+    # pbrt keeps the limit normals UNNORMALIZED (Ns.push_back(Cross(S,T)),
+    # loopsubdiv.cpp:378): their magnitudes weight the barycentric blend at
+    # hit time (the interpolated SUM is normalized, not the vertices).
     return (
         faces.astype(np.int32),
         p_limit.astype(np.float32),

@@ -3,16 +3,16 @@
 The north-star check (BASELINE.json config 1): render killeroo-simple with
 the same halton sample sequences as the reference and compare images.
 
-Measured state (recorded 2026-08-19, TPU, 400x400@8spp vs
-refgold/goldens/killeroo_400_8spp.pfm):
-  mean      2.27411 vs 2.27096  (+0.14%, dominated by 2 light-silhouette px)
-  median per-pixel rel error    0.21%
-  match_frac @1e-3 rel          38.5%
-Noise floor for scale: the reference's OWN 8spp image differs from its
-64spp image by median 5.2% rel — our render is ~25x closer to the ref@8spp
-than ref@8spp is to ref@64spp, i.e. we follow the same sample sequences and
-only decohere on paths hitting curved geometry (f32 vs pbrt's f64 quadric
-discriminant, efloat.h) and mesh silhouettes.
+Measured state (2026-08-21 round 4, CPU, killeroo_64_4spp vs golden):
+  match_frac @1e-3 rel   0.684   (round 3: 0.437)
+  mse 3.3e-6 (was 1.35e-4), mean_abs 2.1e-4 (was 3.7e-3)
+  per-path first-divergence rate: 2.9% (was 17%) — near the measured
+  irreducible 1-ulp chaos floor (1.8% self-divergence at d5, PARITY.md).
+The round-4 movers, found by refgold/path_divergence.py: loopsubdiv limit
+NORMALS computed from pre-limit rings (pbrt pushes vertices to the limit
+first), per-vertex normal normalization (pbrt interpolates the raw
+cross(S,T) magnitudes), and the missing triangle.cpp:365-381 shading-frame
+re-orthogonalization.
 
 Default suite runs the 64x64@4spp variant (CPU-feasible); the full
 400x400@8spp assertion runs with PBRT_TPU_PARITY_FULL=1 (use the TPU).
@@ -57,7 +57,7 @@ def test_killeroo_64():
     # for backend fma differences but catch real regressions (a wrong BRDF
     # or sampler shifts match_frac toward 0 and mean_rel above 1%).
     assert mean_rel < 2e-3, stats
-    assert stats["match_frac"] > 0.30, stats
+    assert stats["match_frac"] > 0.60, stats
 
 
 @pytest.mark.skipif(not FULL, reason="full killeroo golden (set PBRT_TPU_PARITY_FULL=1)")
@@ -70,7 +70,7 @@ def test_killeroo_400_8spp():
     )
     mean_rel = abs(stats["ours_mean"] - stats["ref_mean"]) / stats["ref_mean"]
     assert mean_rel < 5e-3, stats
-    assert stats["match_frac"] > 0.30, stats
+    assert stats["match_frac"] > 0.60, stats
     d = np.abs(ref - ours)
     rel = d / np.maximum(np.abs(ref), 1e-2)
     assert np.percentile(rel, 50) < 1e-2, np.percentile(rel, [50, 90, 99])
