@@ -85,6 +85,7 @@ def _surface_vertex(scene, rec, beta, statics):
     return {
         "exists": rec["hit"],
         "p": rec["p"],
+        "p_error": rec["p_error"],
         "ng": rec["ng"],
         "ns": rec["ns"],
         "dpdu": rec["dpdu"],
@@ -260,15 +261,16 @@ def generate_light_subpath(scene, n, sampler_cfg, state, cfg, statics, dim0):
     return [light_v] + walk, dim
 
 
-def _g_term(scene, va_p, va_ns, vb_p, vb_ns, qt):
-    """G(va <-> vb) with visibility (bdpt.cpp:228-240)."""
+def _g_term(scene, va_p, va_perr, va_ng, va_ns, vb_p, vb_ns, qt):
+    """G(va <-> vb) with visibility (bdpt.cpp:228-240).  The shadow ray
+    spawns from va with its reconstruction error bounds + geometric normal
+    (SurfaceInteraction::SpawnRayTo semantics) — zero bounds caused ~50%
+    false self-occlusion on curved surfaces."""
     d = vb_p - va_p
     d2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
     w = d / jnp.sqrt(d2)[..., None]
     g = jnp.abs(dot(va_ns, w)) * jnp.abs(dot(vb_ns, w)) / d2
-    occ = common.occluded(
-        scene, va_p, jnp.zeros_like(va_p), va_ns, vb_p, qt
-    )
+    occ = common.occluded(scene, va_p, va_perr, va_ng, vb_p, qt)
     return jnp.where(occ, 0.0, g)
 
 
@@ -392,7 +394,7 @@ def _connect(scene, camera, cam_vs, light_vs, s, t, sampler_cfg, state, cfg,
         cs = camera_sample_wi(camera, qs["p"])
         f_q = _vertex_f(qs, cs["p_cam"], statics)
         occ = common.occluded(
-            scene, qs["p"], jnp.zeros_like(qs["p"]), qs["ng"], cs["p_cam"], qt
+            scene, qs["p"], qs["p_error"], qs["ng"], cs["p_cam"], qt
         )
         ok = qs["exists"] & cs["valid"] & (cs["pdf"] > 0.0) & ~occ
         contrib = jnp.where(
@@ -432,7 +434,7 @@ def _connect(scene, camera, cam_vs, light_vs, s, t, sampler_cfg, state, cfg,
         light_idx, pmf, _ = smp.sample_discrete_1d(scene.light_distr, u_sel)
         sl = lt.sample_li(scene, light_idx, pt["p"], u_l, statics.light_types)
         occ = common.occluded(
-            scene, pt["p"], jnp.zeros_like(pt["p"]), pt["ng"], sl["p_light"], qt
+            scene, pt["p"], pt["p_error"], pt["ng"], sl["p_light"], qt
         )
         f_p = _vertex_f(pt, sl["p_light"], statics)
         ok = (
@@ -493,7 +495,10 @@ def _connect(scene, camera, cam_vs, light_vs, s, t, sampler_cfg, state, cfg,
     ok = pt["exists"] & qs["exists"]
     f_p = _vertex_f(pt, qs["p"], statics)
     f_q = _vertex_f(qs, pt["p"], statics)
-    g = _g_term(scene, qs["p"], qs["ns"], pt["p"], pt["ns"], qt)
+    g = _g_term(
+        scene, qs["p"], qs["p_error"], qs["ng"], qs["ns"], pt["p"], pt["ns"],
+        qt,
+    )
     contrib = jnp.where(
         ok[..., None], qs["beta"] * f_q * g[..., None] * f_p * pt["beta"], zero
     )
