@@ -8,8 +8,10 @@ lockstep.  Per-lane current-medium ids track boundary crossings
 (SpawnRay's GetMedium semantics, interaction.h).
 
 Wavefront deviations from the reference (documented):
-  * tracking loops draw from a counter-hash RNG, not sampler dims (pbrt's
-    consumption there is data-dependent/unbounded);
+  * delta-tracking distance sampling draws its first K_TRACK=4 steps from
+    sampler dims (grid.cpp:73-74 Get1D semantics); the data-dependent tail
+    beyond that, and ratio-tracking Tr, use a counter-hash RNG (pbrt's
+    consumption there is unbounded);
   * null-material boundary vertices consume a full bounce's dims;
   * shadow-ray Tr uses the vertex's medium along the whole segment
     (boundary-crossing Tr walk is a planned refinement of occluded_tr).
@@ -37,6 +39,11 @@ from . import common
 from .path import PathConfig, eval_scene_textures, make_pixel_grid
 
 
+# Sampler dims consumed per bounce by grid-medium delta tracking (2 per
+# step: distance + real/null acceptance); steps beyond fall back to hash.
+K_TRACK = 4
+
+
 def _medium_params(scene, med_id):
     mt = scene.media
     mid = jnp.clip(med_id, 0, mt.med_type.shape[0] - 1)
@@ -51,7 +58,8 @@ def _medium_params(scene, med_id):
     }
 
 
-def _sample_medium(scene, med, o, d, t_hit, u1, u2, key, statics):
+def _sample_medium(scene, med, o, d, t_hit, u1, u2, key, statics,
+                   u_track=None):
     """Dispatch Medium::Sample over medium types present."""
     n = o.shape[0]
     out_sampled = jnp.zeros((n,), bool)
@@ -65,7 +73,8 @@ def _sample_medium(scene, med, o, d, t_hit, u1, u2, key, statics):
         out_w = jnp.where(m[..., None], hs["weight"], out_w)
     if md.MEDIUM_GRID in statics.medium_types:
         m = med["valid"] & (med["type"] == md.MEDIUM_GRID)
-        gs = md.grid_sample(scene.media, med["mid"], o, d, t_hit, key)
+        gs = md.grid_sample(scene.media, med["mid"], o, d, t_hit, key,
+                            u_tab=u_track)
         out_sampled = jnp.where(m, gs["sampled_medium"], out_sampled)
         out_t = jnp.where(m, gs["t"], out_t)
         out_w = jnp.where(m[..., None], gs["weight"], out_w)
@@ -245,11 +254,22 @@ def li_volpath(
         u_ch = sa.get_1d(sampler_cfg, sampler_state, dim)
         u_ds = sa.get_1d(sampler_cfg, sampler_state, dim + 1)
         dim += 2
+        # Grid media: delta tracking consumes sampler dims for its first
+        # K_TRACK steps (pbrt draws Get1D per step, grid.cpp:73-74); the
+        # data-dependent tail beyond K_TRACK uses the counter-hash stream
+        # (bounded-schedule truncation, module docstring).
+        u_track = None
+        if md.MEDIUM_GRID in statics.medium_types:
+            u_track = jnp.stack(
+                [sa.get_1d(sampler_cfg, sampler_state, dim + i)
+                 for i in range(2 * K_TRACK)], axis=-1)
+            dim += 2 * K_TRACK
         med = _medium_params(scene, cur_med)
         key_b = lane_key + jnp.uint32(bounce * 0x101)
         t_seg = jnp.where(rec["hit"], t, jnp.float32(1e30))
         in_medium, t_med, w_med = _sample_medium(
-            scene, med, o, d, t_seg, u_ch, u_ds, key_b, statics
+            scene, med, o, d, t_seg, u_ch, u_ds, key_b, statics,
+            u_track=u_track,
         )
         in_medium = in_medium & alive & statics.has_media
         beta = jnp.where(alive[..., None], beta * w_med, beta)

@@ -245,12 +245,18 @@ def _grid_density(med: MediumTable, mid, p_med):
     return lerp(d[..., 2], d0, d1)
 
 
-def grid_sample(med: MediumTable, mid, o, dvec, t_max, key, max_steps=256):
+def grid_sample(med: MediumTable, mid, o, dvec, t_max, key, max_steps=256,
+                u_tab=None):
     """GridDensityMedium::Sample (grid.cpp:62-87) — delta tracking.
 
     o, dvec in world; transformed by w2m per lane.  sigma_t is scalar
     (pbrt requires spectrally-uniform sigma_t for the grid medium).
     Returns dict: sampled_medium, t (world units), weight [N,3].
+
+    u_tab [N, 2K] (optional): sampler-dim uniforms for the first K tracking
+    steps (pbrt draws sampler.Get1D() per step, grid.cpp:73-74); steps
+    beyond K fall back to the counter-hash stream (bounded-schedule
+    truncation — pbrt's consumption there is data-dependent/unbounded).
     """
     w2m = med.w2m[mid]
     om = vm.xform_point(w2m, o)
@@ -275,6 +281,14 @@ def grid_sample(med: MediumTable, mid, o, dvec, t_max, key, max_steps=256):
         t, done, hit_med, ctr = state
         u1 = _rand(key, ctr)
         u2 = _rand(key, ctr + jnp.uint32(0x9999))
+        if u_tab is not None:
+            k2 = u_tab.shape[1]
+            idx = jnp.minimum(ctr[0], jnp.uint32(k2 - 2)).astype(jnp.int32)
+            in_tab = ctr[0] < k2  # ctr advances 2 per step
+            u1 = jnp.where(in_tab, jax.lax.dynamic_index_in_dim(
+                u_tab, idx, 1, keepdims=False), u1)
+            u2 = jnp.where(in_tab, jax.lax.dynamic_index_in_dim(
+                u_tab, idx + 1, 1, keepdims=False), u2)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-10)) * inv_max_d / jnp.maximum(
             sigma_t, 1e-20
         )
