@@ -40,6 +40,12 @@ CASES = [
     ("c4_mirror_d3.pbrt", "c4_mirror_d3.pfm", 1e-3, 0.995, 1e-3, True),
     ("c1_matte_point_d5.pbrt", "c1_matte_point_d5.pfm", 1e-3, 0.70, 1e-3, True),
     ("c_indirect.pbrt", "c_indirect.pfm", 2e-2, 0.70, 2e-2, True),
+    # Config 4 (BASELINE.md): homogeneous fog + heterogeneous density grid,
+    # volpath d5.  Non-media pixels bit-match; media pixels decorrelate (the
+    # tracking loops' data-dependent RNG consumption can't align lockstep,
+    # volpath.py module docstring) so the bar is estimator-level: image
+    # means within 4%, >=60% of pixels (the non-media ones) matching.
+    ("d_media_volpath.pbrt", "d_media_volpath.pfm", 1e-3, 0.60, 4e-2, True),
 ]
 
 
