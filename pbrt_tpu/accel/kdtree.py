@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core import vecmath as vm
+
 ISECT_COST = 80.0
 TRAV_COST = 1.0
 EMPTY_BONUS = 0.5
@@ -225,11 +227,11 @@ def traverse_kd(scene, o, d, t_max, quadric_types, any_hit: bool):
 
         interior = at_node & ~is_leaf & ~dead_node
         ax = jnp.clip(axis, 0, 2)
-        o_a = jnp.take_along_axis(o, ax[..., None], -1)[..., 0]
-        inv_a = jnp.take_along_axis(inv_d, ax[..., None], -1)[..., 0]
+        o_a = vm.component3(o, ax)
+        inv_a = vm.component3(inv_d, ax)
         t_plane = (split - o_a) * inv_a
         below_first = (o_a < split) | ((o_a == split) & (
-            jnp.take_along_axis(d, ax[..., None], -1)[..., 0] <= 0.0
+            vm.component3(d, ax) <= 0.0
         ))
         first = jnp.where(below_first, nd + 1, above)
         second = jnp.where(below_first, above, nd + 1)

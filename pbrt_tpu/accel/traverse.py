@@ -183,7 +183,7 @@ def _traverse_packed(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit:
             prim_best = jnp.where(take, pid, prim_best)
 
         # ---- interior: push far, descend near ----
-        dir_neg = jnp.take_along_axis(d, axis[..., None], axis=-1)[..., 0] < 0.0
+        dir_neg = vm.component3(d, axis) < 0.0
         near = jnp.where(dir_neg, child_or_leaf, nd + 1)
         far = jnp.where(dir_neg, nd + 1, child_or_leaf)
         spc = jnp.clip(s["sp"], 0, STACK_DEPTH - 1)
@@ -277,7 +277,7 @@ def _traverse(scene: sc.SceneArrays, o, d, t_max, quadric_types,
 
         # Push far child / descend near child (front-to-back, bvh.cpp:685-697).
         axis = meta[..., 2]
-        dir_neg = jnp.take_along_axis(d, axis[..., None], axis=-1)[..., 0] < 0.0
+        dir_neg = vm.component3(d, axis) < 0.0
         near = jnp.where(dir_neg, off, nd + 1)
         far = jnp.where(dir_neg, nd + 1, off)
         spc = jnp.clip(s["sp"], 0, STACK_DEPTH - 1)
@@ -616,7 +616,7 @@ def uv_differentials(rec, rx_o, rx_d, ry_o, ry_d):
     d1 = jnp.where(use_yz, 2, jnp.where(use_xz, 2, 1))
 
     def pick(v, i):
-        return jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+        return vm.component3(v, i)  # select-chain, not a per-lane gather
 
     a00 = pick(dpdu, d0)
     a01 = pick(dpdv, d0)

@@ -137,6 +137,74 @@ def radical_inverse(base_index: int, a):
     return jnp.minimum(reversed_digits * inv_base_n, ONE_MINUS_EPSILON)
 
 
+@functools.cache
+def _pair_perm_table(base_index: int) -> np.ndarray:
+    """int32 [p*p] digit-PAIR permutation table for prime `base_index`:
+    entry v packs perm[v % p] (bits 0-8) | perm[v // p] << 9.
+
+    Halves the gather count of the scrambled radical inverse: the
+    per-digit [p]-table gather costs ~10ns/lane/digit on this backend
+    (round-5 in-process measurement: dims 32-41 cost 83ms/160k lanes,
+    ~85% of it gathers), so one [p^2] gather per digit PAIR is ~2x.
+    perm values < 512 for every prime in the table (p <= 7919 needs 13
+    bits -- the pair packing is only built for p <= 337, i.e. the dims a
+    depth-8 path can reach; larger bases fall back to the per-digit
+    form)."""
+    p = int(PRIMES[base_index])
+    off = int(PRIME_SUMS[base_index])
+    perm = radical_inverse_permutations()[off : off + p].astype(np.int64)
+    v = np.arange(p * p, dtype=np.int64)
+    return (perm[v % p] | (perm[v // p] << 9)).astype(np.int32)
+
+
+_PAIR_TABLE_MAX_BASE = 509  # 9-bit packing bound AND table-size bound (1MB)
+
+
+def scrambled_radical_inverse_fast(base_index: int, a):
+    """Bit-exact scrambled_radical_inverse with HALF the gathers.
+
+    Consumes digit PAIRS via one [p^2]-table gather per pair; the f32
+    recurrence is evaluated in the identical order (two sequential
+    multiply-adds per pair), so results match the reference form bit for
+    bit (asserted by tests/test_lowdiscrepancy.py)."""
+    base = int(PRIMES[base_index])
+    if base <= 31 or base > _PAIR_TABLE_MAX_BASE:
+        # p <= 31: the [p] per-digit gather lowers to a fused select chain
+        # (measured FASTER than any table form — the slow real-gather
+        # lowering kicks in above ~32 entries); p > 509: pair table too big.
+        off = int(PRIME_SUMS[base_index])
+        perm = jnp.asarray(
+            radical_inverse_permutations()[off : off + base].astype(np.int32)
+        )
+        return scrambled_radical_inverse(base_index, a, perm)
+    p2 = base * base
+    tab = jnp.asarray(_pair_perm_table(base_index))
+    inv_base = jnp.float32(1.0 / base)
+    a = jnp.asarray(a, jnp.uint32)
+    rev = jnp.zeros(a.shape, jnp.float32)
+    inv_base_n = jnp.ones(a.shape, jnp.float32)
+    n_pairs = (_num_digits(base) + 1) // 2
+    for _ in range(n_pairs):
+        nxt2 = a // p2
+        v = (a - nxt2 * p2).astype(jnp.int32)
+        w = tab[v]
+        pd0 = (w & 511).astype(jnp.float32)
+        pd1 = ((w >> 9) & 511).astype(jnp.float32)
+        live0 = a > 0
+        live1 = a >= base  # second digit live iff (a // base) > 0
+        rev = jnp.where(live0, rev * base + pd0, rev)
+        inv_base_n = jnp.where(live0, inv_base_n * inv_base, inv_base_n)
+        rev = jnp.where(live1, rev * base + pd1, rev)
+        inv_base_n = jnp.where(live1, inv_base_n * inv_base, inv_base_n)
+        a = nxt2
+    off = int(PRIME_SUMS[base_index])
+    perm0 = float(radical_inverse_permutations()[off])
+    return jnp.minimum(
+        inv_base_n * (rev + inv_base * perm0 / (1.0 - inv_base)),
+        ONE_MINUS_EPSILON,
+    )
+
+
 def scrambled_radical_inverse(base_index: int, a, perm):
     """ScrambledRadicalInverse with a digit permutation (lowdiscrepancy.cpp:407).
 

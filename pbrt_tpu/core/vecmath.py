@@ -98,6 +98,26 @@ def lerp(t, a, b):
     return (1.0 - t) * a + t * b
 
 
+def component3(v, idx):
+    """v[..., idx] for per-lane idx in {0,1,2}, as a SELECT chain.
+
+    jnp.take_along_axis on a [N,3] array lowers to a per-lane gather on
+    this backend — measured 21ms of intersect_triangle's 23ms at 160k
+    lanes (round-5 probe, tools/bench_layout_probe.py sibling); the
+    equivalent two-where select fuses with neighbors and is ~free.
+    """
+    return jnp.where(
+        idx == 0, v[..., 0], jnp.where(idx == 1, v[..., 1], v[..., 2])
+    )
+
+
+def permute3(v, kx, ky, kz):
+    """Per-lane coordinate permutation (geometry.h Permute) via selects."""
+    return jnp.stack(
+        [component3(v, kx), component3(v, ky), component3(v, kz)], axis=-1
+    )
+
+
 def coordinate_system(v1):
     """Build an orthonormal basis around unit v1 (geometry.h:236 CoordinateSystem).
 

@@ -84,6 +84,9 @@ class FilmState:
     filter_table: jnp.ndarray = None
     inv_radius: jnp.ndarray = None
     footprint: int = static_field(default=1)
+    # True when every filter-LUT entry is identical (box): add_samples then
+    # skips the per-cell LUT gather (values unchanged).
+    lut_constant: bool = static_field(default=False)
     max_sample_luminance: jnp.ndarray = None  # film.h:124 firefly clamp
 
 
@@ -111,6 +114,9 @@ def make_film_state(config: FilmConfig, filt: Filter) -> FilmState:
         x0=px0,
         y0=py0,
         filter_table=jnp.asarray(build_filter_table(filt)),
+        lut_constant=bool(
+            (lambda t: np.all(t == t.flat[0]))(build_filter_table(filt))
+        ),
         inv_radius=jnp.asarray([1.0 / rx, 1.0 / ry], jnp.float32),
         footprint=footprint,
         max_sample_luminance=jnp.float32(
@@ -168,7 +174,15 @@ def add_samples(state: FilmState, p_film, L, sample_weight=None, mask=None):
     in_y = jnp.abs(py.astype(jnp.float32) - pd[:, 1:2]) <= radius[1]
 
     # Cross product of footprint cells: [N, F, F]
-    wxy = state.filter_table[fy[:, :, None], fx[:, None, :]]  # [N, Fy, Fx]
+    if state.lut_constant:
+        # Box filter: every LUT entry is the same value, so the per-cell
+        # [N,F,F] table gather (per-element gathers cost ~10ns on this
+        # backend — round-5 measurement) collapses to a broadcast scalar.
+        wxy = jnp.broadcast_to(
+            state.filter_table[0, 0], (n, F, F)
+        )
+    else:
+        wxy = state.filter_table[fy[:, :, None], fx[:, None, :]]  # [N, Fy, Fx]
     ix = px[:, None, :] - state.x0  # [N, 1, Fx] broadcast
     iy = py[:, :, None] - state.y0
     valid = (

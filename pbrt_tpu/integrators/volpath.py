@@ -233,7 +233,10 @@ def li_volpath(
     start_dim: int = 5,
 ):
     """Radiance with participating media.  Dimension schedule per bounce:
-    2 (medium sample) + 5 (NEE) + 2 (phase/bsdf) + 1 RR after bounce 3."""
+    2 (medium sample) + 5 (NEE) + 2 (phase/bsdf) + 1 RR after bounce 3;
+    scenes with a grid medium add 2*K_TRACK tracking dims per bounce
+    (the first K_TRACK+1 delta-tracking steps draw sampler dims, led by
+    the medium-sample pair — see the u_track comment below)."""
     n = o.shape[0]
     L = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
@@ -255,14 +258,18 @@ def li_volpath(
         u_ds = sa.get_1d(sampler_cfg, sampler_state, dim + 1)
         dim += 2
         # Grid media: delta tracking consumes sampler dims for its first
-        # K_TRACK steps (pbrt draws Get1D per step, grid.cpp:73-74); the
-        # data-dependent tail beyond K_TRACK uses the counter-hash stream
-        # (bounded-schedule truncation, module docstring).
+        # K_TRACK+1 steps (pbrt draws Get1D per step, grid.cpp:73-74); the
+        # data-dependent tail uses the counter-hash stream (bounded-schedule
+        # truncation, module docstring).  u_ch/u_ds lead the table: a grid
+        # lane's FIRST pbrt Get1D is its step-0 tracking draw at dim D —
+        # the same dims a homogeneous lane spends on channel/distance — so
+        # step 0 reads dims D, D+1 exactly as grid.cpp would.
         u_track = None
         if md.MEDIUM_GRID in statics.medium_types:
             u_track = jnp.stack(
-                [sa.get_1d(sampler_cfg, sampler_state, dim + i)
-                 for i in range(2 * K_TRACK)], axis=-1)
+                [u_ch, u_ds]
+                + [sa.get_1d(sampler_cfg, sampler_state, dim + i)
+                   for i in range(2 * K_TRACK)], axis=-1)
             dim += 2 * K_TRACK
         med = _medium_params(scene, cur_med)
         key_b = lane_key + jnp.uint32(bounce * 0x101)

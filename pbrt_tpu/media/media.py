@@ -187,7 +187,7 @@ def homogeneous_sample(sigma_a, sigma_s, t_max, u_channel, u_dist):
     """
     sigma_t = sigma_a + sigma_s
     channel = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
-    sig_c = jnp.take_along_axis(sigma_t, channel[..., None], -1)[..., 0]
+    sig_c = vm.component3(sigma_t, channel)  # select, not per-lane gather
     dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-10)) / jnp.maximum(sig_c, 1e-20)
     t = jnp.minimum(dist, t_max)
     sampled_medium = (dist < t_max) & (sig_c > 0.0)
@@ -257,6 +257,13 @@ def grid_sample(med: MediumTable, mid, o, dvec, t_max, key, max_steps=256,
     steps (pbrt draws sampler.Get1D() per step, grid.cpp:73-74); steps
     beyond K fall back to the counter-hash stream (bounded-schedule
     truncation — pbrt's consumption there is data-dependent/unbounded).
+    Per-draw alignment caveat: this loop consumes 2 table uniforms per
+    step unconditionally, while pbrt breaks out of the loop on escape
+    (t >= tMax) BEFORE its second Get1D — so a lane whose step escapes
+    consumes 1 dim where we consume 2, and later steps' dims shift by one
+    on that lane.  Alignment is exact only up to a lane's first escaping
+    step; beyond it the table dims serve stratification, not per-draw
+    parity.
     """
     w2m = med.w2m[mid]
     om = vm.xform_point(w2m, o)

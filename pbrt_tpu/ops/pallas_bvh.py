@@ -70,6 +70,103 @@ def pack_nodes_pages(nodes_flat: np.ndarray) -> np.ndarray:
     return pages
 
 
+NODE4_W = 32  # bvh4 row: 4 child boxes (24) + 4 refs + 4 counts
+LEAF_BIT = 1 << 28  # stack-entry flag: entry encodes a leaf row, not a node
+
+
+def build_bvh4(nodes_packed: np.ndarray) -> np.ndarray:
+    """Collapse the flat binary BVH ([M,9]: bounds, child, nprims, axis)
+    into a 4-wide BVH: [M4, NODE4_W] f32 rows, slot k = box [6k:6k+6],
+    ref [24+k], count [28+k] (count -1 empty / 0 interior / >0 leaf;
+    leaf ref = leaf-table row, interior ref = bvh4 node index).
+
+    Two-level collapse (each interior child expands to its two children):
+    ~halves the traversal loop's interior iterations — the while-loop is
+    per-iteration-overhead bound (NOTES.md packet sweep), so fewer, fatter
+    visits win.  Round-5 perf item (NOTES perf plan #2).
+    """
+    child = nodes_packed[:, 6].astype(np.int64)
+    nprims = nodes_packed[:, 7].astype(np.int64)
+    is_leaf = nprims > 0
+    bmin = nodes_packed[:, 0:3]
+    bmax = nodes_packed[:, 3:6]
+
+    def expand(i):
+        """Binary node i (interior) -> 2-4 (grand)child binary ids."""
+        out = []
+        for c in (i + 1, int(child[i])):
+            if is_leaf[c]:
+                out.append(c)
+            else:
+                out.append(c + 1)
+                out.append(int(child[c]))
+        return out
+
+    rows = []
+    if is_leaf[0]:
+        # Single-leaf scene: one bvh4 node with one leaf slot.
+        row = np.zeros(NODE4_W, np.float32)
+        row[0:3] = bmin[0]
+        row[3:6] = bmax[0]
+        row[24] = float(child[0])
+        row[28] = float(nprims[0])
+        row[25:28] = -1.0
+        row[29:32] = -1.0
+        # empty boxes never hit
+        for k in range(1, 4):
+            row[6 * k : 6 * k + 3] = 1e30
+            row[6 * k + 3 : 6 * k + 6] = -1e30
+        return row[None, :]
+
+    # BFS assignment: bvh4 id per binary interior node that becomes a node.
+    import collections
+
+    id4 = {0: 0}
+    order = [0]
+    q = collections.deque([0])
+    while q:
+        i = q.popleft()
+        for c in expand(i):
+            if not is_leaf[c]:
+                if c not in id4:
+                    id4[c] = len(order)
+                    order.append(c)
+                    q.append(c)
+    m4 = len(order)
+    out = np.zeros((m4, NODE4_W), np.float32)
+    out[:, 0:24:6] = 1e30  # empty slot boxes: min=+inf
+    out[:, 1:24:6] = 1e30
+    out[:, 2:24:6] = 1e30
+    out[:, 3:24:6] = -1e30
+    out[:, 4:24:6] = -1e30
+    out[:, 5:24:6] = -1e30
+    out[:, 28:32] = -1.0  # counts: empty
+    for i in order:
+        r = out[id4[i]]
+        for k, c in enumerate(expand(i)):
+            r[6 * k : 6 * k + 3] = bmin[c]
+            r[6 * k + 3 : 6 * k + 6] = bmax[c]
+            if is_leaf[c]:
+                r[24 + k] = float(child[c])  # leaf row
+                r[28 + k] = float(nprims[c])
+            else:
+                r[24 + k] = float(id4[c])
+                r[28 + k] = 0.0
+    return out
+
+
+def pack_nodes4_pages(nodes4: np.ndarray) -> np.ndarray:
+    """[M4, NODE4_W] -> lane-packed pages [ceil(M4/128), NODE4_W, 128]."""
+    m = nodes4.shape[0]
+    n_pages = (m + 127) // 128
+    pages = np.zeros((n_pages, NODE4_W, 128), np.float32)
+    for f in range(NODE4_W):
+        col = np.zeros(n_pages * 128, np.float32)
+        col[:m] = nodes4[:, f]
+        pages[:, f, :] = col.reshape(n_pages, 128)
+    return pages
+
+
 def pack_scene_for_kernel(scene):
     """Host-side: node table + triangle leaf table in kernel layout.
 
@@ -274,6 +371,220 @@ def _make_kernel(n_nodes: int, n_leaves: int):
     return kernel
 
 
+def _make_kernel4(n_nodes4: int, n_leaves: int):
+    """4-wide packet traversal: each interior visit slab-tests FOUR child
+    boxes (one [NODE4_W,128] masked-lane fetch), pushes hit children
+    far-to-near by packet-min t_near, and descends the nearest.  Leaf
+    children are pushed as LEAF_BIT-tagged stack entries; a leaf visit
+    skips the node fetch entirely (DMA + 7 slot tests, as the binary
+    kernel's leaf branch).  ~Halves while-loop trips vs the binary kernel
+    on the iteration-overhead-bound regime (NOTES.md perf plan #2)."""
+
+    def kernel(
+        nodes_ref,  # VMEM [P4, NODE4_W, 128]
+        leaves_ref,  # HBM [NL, LEAF_ROW_W]
+        o_ref, d_ref, tmax_ref, mode_ref,
+        t_out, prim_out,
+        stack_ref, leaf_buf, leaf_sem,
+    ):
+        p = 0
+        ox = o_ref[p, 0]
+        oy = o_ref[p, 1]
+        oz = o_ref[p, 2]
+        dx = d_ref[p, 0]
+        dy = d_ref[p, 1]
+        dz = d_ref[p, 2]
+        inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+        inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+        inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        is_any = mode_ref[p] > 0.0
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def do_leaf(leaf_row, t_best, prim_best):
+            dma = pltpu.make_async_copy(
+                leaves_ref.at[pl.ds(jnp.clip(leaf_row, 0, n_leaves - 1), 1), :],
+                leaf_buf,
+                leaf_sem,
+            )
+            dma.start()
+            dma.wait()
+            lrow = leaf_buf[0]
+            for k in range(MAX_LEAF):
+                base = k * SLOT_W
+                ptype = lrow[base + 0]
+                pid = lrow[base + 1].astype(jnp.int32)
+                v = [lrow[base + 2 + j] for j in range(9)]
+                h, t = _tri_hit(ox, oy, oz, dx, dy, dz, t_best, v)
+                take = (ptype == 0.0) & h
+                t_best = jnp.where(
+                    take,
+                    jnp.where(is_any, jnp.float32(-1e30), t),
+                    t_best,
+                )
+                prim_best = jnp.where(take, pid, prim_best)
+            return t_best, prim_best
+
+        def body(state):
+            node, sp, t_best, prim_best = state
+            is_leaf_entry = (node & LEAF_BIT) != 0
+
+            def leaf_case(args):
+                node, sp, t_best, prim_best = args
+                t_best, prim_best = do_leaf(
+                    node & (LEAF_BIT - 1), t_best, prim_best
+                )
+                can_pop = sp > 0
+                popped = stack_ref[jnp.clip(sp - 1, 0, STACK_DEPTH - 1)]
+                return (
+                    jnp.where(can_pop, popped, -1),
+                    jnp.where(can_pop, sp - 1, sp),
+                    t_best,
+                    prim_best,
+                )
+
+            def node_case(args):
+                node, sp, t_best, prim_best = args
+                nd = jnp.clip(node, 0, n_nodes4 - 1)
+                page = nodes_ref[pl.ds(nd >> 7, 1)]  # [1, NODE4_W, 128]
+                lane = nd & 127
+                sel = (lane_iota == lane).astype(jnp.float32)
+                fields = jnp.sum(page[0] * sel, axis=-1)  # [NODE4_W]
+
+                pend_ref = [jnp.int32(-1)] * 4
+                pend_key = [jnp.float32(3e38)] * 4
+                for k in range(4):
+                    b = [fields[6 * k + j] for j in range(6)]
+                    cnt = fields[28 + k]
+                    t0x = (b[0] - ox) * inv_dx
+                    t1x = (b[3] - ox) * inv_dx
+                    t0y = (b[1] - oy) * inv_dy
+                    t1y = (b[4] - oy) * inv_dy
+                    t0z = (b[2] - oz) * inv_dz
+                    t1z = (b[5] - oz) * inv_dz
+                    tn = jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)
+                        ),
+                        jnp.minimum(t0z, t1z),
+                    )
+                    tf = jnp.minimum(
+                        jnp.minimum(
+                            jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)
+                        ),
+                        jnp.maximum(t0z, t1z),
+                    ) * 1.0000004
+                    hit_k = (tn <= tf) & (tf > 0.0) & (tn < t_best)
+                    any_k = jnp.any(hit_k) & (cnt >= 0.0)
+                    # packet-front key: min t_near over hitting lanes
+                    key_k = jnp.min(jnp.where(hit_k, tn, 3e38))
+                    ref_raw = fields[24 + k].astype(jnp.int32)
+                    ref_k = jnp.where(cnt > 0.0, ref_raw | LEAF_BIT, ref_raw)
+                    pend_ref[k] = jnp.where(any_k, ref_k, -1)
+                    pend_key[k] = jnp.where(any_k, key_k, 3e38)
+
+                # Running-nearest selection: after the loop next_* holds the
+                # nearest hit child, pend the remaining (to push).
+                next_node = jnp.int32(-1)
+                next_key = jnp.float32(3e38)
+                for k in range(4):
+                    better = (pend_key[k] < next_key) & (pend_ref[k] >= 0)
+                    new_next = jnp.where(better, pend_ref[k], next_node)
+                    new_key = jnp.where(better, pend_key[k], next_key)
+                    pend_ref[k] = jnp.where(better, next_node, pend_ref[k])
+                    pend_key[k] = jnp.where(better, next_key, pend_key[k])
+                    next_node = new_next
+                    next_key = new_key
+
+                sp1 = sp
+                for k in range(4):
+                    push_k = pend_ref[k] >= 0
+                    idx = jnp.clip(sp1, 0, STACK_DEPTH - 1)
+                    ref_k = pend_ref[k]
+
+                    @pl.when(push_k)
+                    def _(idx=idx, ref_k=ref_k):
+                        stack_ref[idx] = ref_k
+
+                    sp1 = sp1 + push_k.astype(jnp.int32)
+
+                descend = next_node >= 0
+                can_pop = sp1 > 0
+                popped = stack_ref[jnp.clip(sp1 - 1, 0, STACK_DEPTH - 1)]
+                node_new = jnp.where(
+                    descend, next_node, jnp.where(can_pop, popped, -1)
+                )
+                sp_new = jnp.where(
+                    descend, sp1, jnp.where(can_pop, sp1 - 1, sp1)
+                )
+                return node_new, sp_new, t_best, prim_best
+
+            return jax.lax.cond(
+                is_leaf_entry, leaf_case, node_case,
+                (node, sp, t_best, prim_best),
+            )
+
+        def cond(state):
+            return state[0] >= 0
+
+        _, _, t_fin, prim_fin = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), tmax_ref[p],
+             jnp.full((SUBLANES, LANES), -1, jnp.int32)),
+        )
+        t_out[p] = t_fin
+        prim_out[p] = prim_fin
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes4", "n_leaves"))
+def _run_packets4(nodes4, leaves, o, d, t_max, mode, n_nodes4, n_leaves):
+    n = o.shape[0]
+    n_packets = n // PACKET
+    o_b = o.reshape(n_packets, PACKET, 3).transpose(0, 2, 1).reshape(
+        n_packets, 3, SUBLANES, LANES
+    )
+    d_b = d.reshape(n_packets, PACKET, 3).transpose(0, 2, 1).reshape(
+        n_packets, 3, SUBLANES, LANES
+    )
+    t_b = t_max.reshape(n_packets, SUBLANES, LANES)
+    m_b = mode.reshape(n_packets, SUBLANES, LANES)
+
+    kernel = _make_kernel4(n_nodes4, n_leaves)
+    np_pages = nodes4.shape[0]
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        grid=(n_packets,),
+        in_specs=[
+            pl.BlockSpec(
+                (np_pages, NODE4_W, 128), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 3, SUBLANES, LANES), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_packets, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, SUBLANES, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, LEAF_ROW_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(nodes4, leaves, o_b, d_b, t_b, m_b)
+    t_flat = t_out.reshape(n_packets * SUBLANES * LANES)
+    p_flat = prim_out.reshape(n_packets * SUBLANES * LANES)
+    return t_flat, p_flat
+
+
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_leaves"))
 def _run_packets(nodes, leaves, o, d, t_max, mode, n_nodes, n_leaves):
     n = o.shape[0]
@@ -323,6 +634,11 @@ def _run_packets(nodes, leaves, o, d, t_max, mode, n_nodes, n_leaves):
     return t_flat, p_flat
 
 
+# 4-wide BVH kernel is the default; PBRT_TPU_BVH4=0 falls back to the
+# binary-node kernel (kept as the simpler reference path).
+_USE_BVH4 = _os.environ.get("PBRT_TPU_BVH4", "1") != "0"
+
+
 def intersect_closest_packets(scene, kernel_tables, o, d, t_max,
                               any_mask=None):
     """Packet-kernel closest hit.  o, d: [N,3]; N padded to PACKET multiple
@@ -332,14 +648,16 @@ def intersect_closest_packets(scene, kernel_tables, o, d, t_max,
     nodes = kernel_tables["nodes"]  # pages [P, NODE_W, 128]
     leaves = kernel_tables["leaves"]
     n_real_nodes = int(np.asarray(scene.nodes_packed).shape[0])
+    nodes4 = getattr(scene, "kernel_nodes4", None)
     return _kernel_trace(
         jnp.asarray(nodes), jnp.asarray(leaves),
         n_real_nodes, int(leaves.shape[0]), o, d, t_max, any_mask,
+        nodes4=None if nodes4 is None else jnp.asarray(nodes4),
     )
 
 
 def _kernel_trace(nodes, leaves, n_nodes, n_leaves, o, d, t_max,
-                  any_mask=None):
+                  any_mask=None, nodes4=None):
     n = o.shape[0]
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if any_mask is None:
@@ -356,8 +674,13 @@ def _kernel_trace(nodes, leaves, n_nodes, n_leaves, o, d, t_max,
         )
         t_max_arr = jnp.concatenate([t_max_arr, jnp.zeros((pad,), jnp.float32)])
         mode = jnp.concatenate([mode, jnp.zeros((pad,), jnp.float32)])
-    t, p = _run_packets(nodes, leaves, o, d, t_max_arr, mode, n_nodes,
-                        n_leaves)
+    if _USE_BVH4 and nodes4 is not None:
+        n_nodes4 = int(nodes4.shape[0]) * 128
+        t, p = _run_packets4(nodes4, leaves, o, d, t_max_arr, mode,
+                             n_nodes4, n_leaves)
+    else:
+        t, p = _run_packets(nodes, leaves, o, d, t_max_arr, mode, n_nodes,
+                            n_leaves)
     return t[:n], p[:n]
 
 
@@ -408,6 +731,8 @@ def intersect_kernel_with_quadrics(scene, o, d, t_max, quadric_types=(),
 
     nodes = jnp.asarray(scene.kernel_nodes)  # pages [P, NODE_W, 128]
     leaves = jnp.asarray(scene.kernel_leaves)
+    nodes4 = getattr(scene, "kernel_nodes4", None)
+    nodes4 = None if nodes4 is None else jnp.asarray(nodes4)
     n_real_nodes = int(scene.nodes_packed.shape[0])
     n = o.shape[0]
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -422,14 +747,14 @@ def intersect_kernel_with_quadrics(scene, o, d, t_max, quadric_types=(),
         )[order]
         t_s, prim_s = _kernel_trace(
             nodes, leaves, n_real_nodes, int(leaves.shape[0]),
-            o_s, d_s, tm_s, am_s,
+            o_s, d_s, tm_s, am_s, nodes4=nodes4,
         )
         t = jnp.zeros((n,), jnp.float32).at[order].set(t_s)
         prim = jnp.zeros((n,), jnp.int32).at[order].set(prim_s)
     else:
         t, prim = _kernel_trace(
             nodes, leaves, n_real_nodes, int(leaves.shape[0]),
-            o, d, t_max_arr, any_mask,
+            o, d, t_max_arr, any_mask, nodes4=nodes4,
         )
     if quadric_types:
         n_q = int(scene.q_packed.shape[0])
@@ -478,5 +803,9 @@ def kernel_supported(scene, n_quadrics_in_scene: int,
         return False
     if n_quadrics_in_scene > MAX_BRUTE_QUADRICS:
         return False
-    nbytes = 4 * int(np.prod(scene.kernel_nodes.shape))
+    nodes4 = getattr(scene, "kernel_nodes4", None)
+    if _USE_BVH4 and nodes4 is not None:
+        nbytes = 4 * int(np.prod(nodes4.shape))
+    else:
+        nbytes = 4 * int(np.prod(scene.kernel_nodes.shape))
     return nbytes <= max_vmem_bytes

@@ -252,12 +252,9 @@ def get_1d(cfg: SamplerConfig, state, dim: int):
             return ld.radical_inverse(0, index >> base_exps[0])
         if dim == 1:
             return ld.radical_inverse(1, index // jnp.uint32(base_scales[1]))
-        perms = _halton_perm_device()
-        off = int(ld.PRIME_SUMS[dim])
-        p = int(ld.PRIMES[dim])
-        return ld.scrambled_radical_inverse(
-            dim, index, jnp.asarray(perms[off : off + p])
-        )
+        # Digit-pair table form: bit-exact, half the gathers (round-5 perf:
+        # the per-digit perm gather dominated the [D,N] table build).
+        return ld.scrambled_radical_inverse_fast(dim, index)
     if cfg.name == "random":
         state["rng"], f = prng.next_float(state["rng"])
         return f

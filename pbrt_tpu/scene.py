@@ -188,6 +188,7 @@ class SceneArrays:
     # Pallas packet-kernel tables (ops/pallas_bvh.py layout)
     kernel_nodes: jnp.ndarray = None  # [M,16] f32
     kernel_leaves: jnp.ndarray = None  # [NL,128] f32 (7 tri slots x 16, padded)
+    kernel_nodes4: jnp.ndarray = None  # 4-wide BVH pages [P4, 32, 128] f32
     q_prim_id: jnp.ndarray = None  # [Q] BVH-ordered prim row per quadric
     # ---- media (core/medium.h:102 MediumInterface per primitive) ----
     prim_medium_inside: jnp.ndarray = None  # [P] medium id or -1
@@ -794,9 +795,12 @@ class SceneBuilder:
             ],
             -1,
         )
-        from .ops.pallas_bvh import pack_nodes_pages
+        from .ops.pallas_bvh import (
+            pack_nodes_pages, build_bvh4, pack_nodes4_pages,
+        )
 
         kernel_nodes = pack_nodes_pages(nodes_packed)
+        kernel_nodes4 = pack_nodes4_pages(build_bvh4(nodes_packed))
         kd_extra = {}
         if accelerator == "kdtree":
             from .accel.kdtree import build_kdtree
@@ -839,6 +843,7 @@ class SceneBuilder:
             nodes_packed=jnp.asarray(nodes_packed),
             leaf_packed=jnp.asarray(leaf_packed),
             kernel_nodes=jnp.asarray(kernel_nodes),
+            kernel_nodes4=jnp.asarray(kernel_nodes4),
             kernel_leaves=jnp.asarray(
                 np.concatenate(
                     [

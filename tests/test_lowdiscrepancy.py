@@ -105,3 +105,18 @@ def test_sobol_interval_to_index_unique_per_frame():
             key = (int(h) << 32) | int(l)
             assert key not in seen
             seen.add(key)
+
+
+def test_scrambled_radical_inverse_fast_bit_exact():
+    """The digit-pair-table form (round-5 perf: half the gathers) must be
+    BIT-identical to the per-digit reference form on every dim class:
+    small primes, the pair-table range, and the >509 fallback."""
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.integers(0, 2**32, 4096, dtype=np.uint32))
+    perms = ld.radical_inverse_permutations().astype(np.int32)
+    for d in [2, 5, 17, 41, 67, 96, 97, 200]:  # PRIMES[96]=509, [97]=521
+        off = int(ld.PRIME_SUMS[d])
+        p = int(ld.PRIMES[d])
+        ref = ld.scrambled_radical_inverse(d, a, jnp.asarray(perms[off:off + p]))
+        fast = ld.scrambled_radical_inverse_fast(d, a)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fast))
