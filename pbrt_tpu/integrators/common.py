@@ -55,6 +55,7 @@ def estimate_direct(
     tr_fn=None,
     isect_tr_fn=None,
     extra_ray=None,
+    extra_live=None,
 ):
     """EstimateDirect (integrator.cpp:108-215), specular=false.
 
@@ -120,9 +121,22 @@ def estimate_direct(
         d_sh = s["p_light"] - o_sh
         dist = jnp.sqrt(jnp.maximum(jnp.sum(d_sh * d_sh, -1), 1e-20))
         dn_sh = d_sh / dist[..., None]
+        # DEAD lanes get t_max = 0 so they fail the root slab test and exit
+        # the traversal on their first iteration — otherwise every dead lane
+        # (they keep their previous unit ray for masked-grad hygiene) walks
+        # the full tree and widens its packet's visit union.  Their results
+        # (prim = -1) are exactly what the masked consumers expect; by
+        # bounce 4 <40% of lanes are alive, so this trims real work.
+        live = mask.astype(jnp.float32)
+        # Extension lanes live by the CALLER's aliveness (extra_live), not
+        # the NEE mask: a live lane whose light pmf is 0 must still trace
+        # its next-bounce ray.
+        live3 = live if extra_live is None else extra_live.astype(jnp.float32)
+        far = jnp.full((n,), 1e30, jnp.float32) * live3
         o_cat = [o_sh, o2]
         d_cat = [dn_sh, wi2_world]
-        tm_cat = [dist * _SHADOW_EPS, jnp.full((n,), 1e30, jnp.float32)]
+        tm_cat = [dist * _SHADOW_EPS * live,
+                  jnp.full((n,), 1e30, jnp.float32) * live]
         # Shadow lanes (first n) run any-hit: they exit traversal at the
         # first occluder (IntersectP early-out, bvh.cpp:702-738) while the
         # MIS/extension lanes in the same launch stay closest-hit.
@@ -131,7 +145,7 @@ def estimate_direct(
             o3, d3 = extra_ray
             o_cat.append(o3)
             d_cat.append(d3)
-            tm_cat.append(jnp.full((n,), 1e30, jnp.float32))
+            tm_cat.append(far)
             am_cat.append(jnp.zeros((n,), bool))
         t_cat, prim_cat = tv.intersect_closest(
             scene,
@@ -302,6 +316,7 @@ def sample_one_light(
         tr_fn=tr_fn,
         isect_tr_fn=isect_tr_fn,
         extra_ray=extra_ray,
+        extra_live=mask,
     )
     if extra_ray is not None:
         ld, extra_hit = ld
