@@ -95,6 +95,16 @@ def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
                 m = (ptype == qt) & s["hit"]
                 t = jnp.where(m & (s["t"] < t), s["t"], t)
                 hit = hit | m
+        if sc.SHAPE_CURVE in quadric_types:
+            from ..shapes.curve import curve_intersect
+
+            crow = scene.curve_packed[
+                jnp.clip(pidx, 0, scene.curve_packed.shape[0] - 1)
+            ]
+            cres = curve_intersect(o, d, t_best, crow)
+            m = (ptype == sc.SHAPE_CURVE) & cres["hit"]
+            t = jnp.where(m & (cres["t"] < t), cres["t"], t)
+            hit = hit | m
     return hit, t
 
 
@@ -119,6 +129,8 @@ def _test_slot(slot, o, d, t_best, quadric_types):
             sc.SHAPE_DISK: quad.intersect_disk_object,
         }
         for qt in quadric_types:
+            if qt not in fns:
+                continue  # curves unsupported in packed-slot traversal
             sres = fns[qt](oo, od, t_best, par[..., 0], par[..., 1], par[..., 2], par[..., 3])
             m = (ptype == qt) & sres["hit"]
             t = jnp.where(m & (sres["t"] < t), sres["t"], t)
@@ -544,6 +556,8 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
             sc.SHAPE_HYPERBOLOID: quad.intersect_hyperboloid,
         }
         for qt in quadric_types:
+            if qt == sc.SHAPE_CURVE:
+                continue  # dedicated curve branch below
             t_arg = jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf)
             if qt in fns_par:
                 s = fns_par[qt](o, d, t_arg, w2o, o2w, par[..., :12])
@@ -566,6 +580,25 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
             dpdu = jnp.where(m[..., None], tq, dpdu)
             dpdv = jnp.where(m[..., None], bq, dpdv)
             ss_sh = jnp.where(m[..., None], tq, ss_sh)
+
+    if sc.SHAPE_CURVE in quadric_types:
+        from ..shapes.curve import curve_intersect
+
+        crow = scene.curve_packed[
+            jnp.clip(pidx, 0, scene.curve_packed.shape[0] - 1)
+        ]
+        t_arg = jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf)
+        cres = curve_intersect(o, d, t_arg, crow, want_record=True)
+        m = (ptype == sc.SHAPE_CURVE) & cres["hit"]
+        mv = m[..., None]
+        p = jnp.where(mv, cres["p_hit"], p)
+        ng = jnp.where(mv, cres["ng"], ng)
+        ns = jnp.where(mv, cres["ng"], ns)
+        uv = jnp.where(mv, cres["uv"], uv)
+        p_err = jnp.where(mv, cres["p_error"], p_err)
+        dpdu = jnp.where(mv, cres["dpdu"], dpdu)
+        dpdv = jnp.where(mv, cres["dpdv"], dpdv)
+        ss_sh = jnp.where(mv, cres["dpdu"], ss_sh)
 
     return {
         "hit": hit,

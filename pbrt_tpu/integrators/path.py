@@ -125,14 +125,22 @@ def li_path(
         # leaves must be jnp (identity on tracers under jit; an upload on
         # eager calls — same policy as traverse._device_scene).
         scene = jax.tree_util.tree_map(jnp.asarray, scene)
-        body0 = _make_bounce_body(
-            0, start_dim, sampler_cfg, sampler_state, cfg, statics,
-            merge_next, ray_diffs,
-        )
-        if remat:
-            body0 = jax.checkpoint(body0)
-        carry = body0(scene, carry)
-        if cfg.max_depth >= 2:
+        # Bounce 0 joins the scan when it has nothing bounce-0-specific
+        # (no camera ray differentials): the body then compiles ONCE for
+        # all bounces instead of twice — a peeled body copy was ~15s of
+        # the step's XLA compile (round-5 bisection).  The scan body's
+        # camera-ray Le gate handles bounce==0 (traced index).
+        fold0 = ray_diffs is None
+        first_scan = 0 if fold0 else 1
+        if not fold0:
+            body0 = _make_bounce_body(
+                0, start_dim, sampler_cfg, sampler_state, cfg, statics,
+                merge_next, ray_diffs,
+            )
+            if remat:
+                body0 = jax.checkpoint(body0)
+            carry = body0(scene, carry)
+        if cfg.max_depth >= first_scan + 1:
             sbody = _make_scan_body(
                 sampler_cfg, sampler_state, cfg, statics, start_dim
             )
@@ -143,7 +151,8 @@ def li_path(
                 return sbody(scene, c, b), None
 
             carry, _ = jax.lax.scan(
-                step, carry, jnp.arange(1, cfg.max_depth, dtype=jnp.int32)
+                step, carry,
+                jnp.arange(first_scan, cfg.max_depth, dtype=jnp.int32),
             )
         last_body = _make_bounce_body(
             cfg.max_depth, 0, sampler_cfg, sampler_state, cfg, statics,
@@ -460,8 +469,9 @@ def _make_scan_body(sampler_cfg, sampler_state, cfg, statics, start_dim):
         found = rec["hit"] & alive
         counters = st.bump(counters, "Integrator/Path vertices", found)
 
-        # bounce >= 1: Le only after a specular bounce (path.cpp:91-101).
-        count_le = specular_bounce
+        # Le for camera rays (traced bounce 0, when folded into the scan)
+        # and rays leaving a specular bounce (path.cpp:91-101).
+        count_le = (bounce == 0) | specular_bounce
         le_surf = lt.area_light_emission(
             scene, rec["arealight"], rec["ng"], rec["wo"]
         )

@@ -862,6 +862,10 @@ def kernel_supported(scene, n_quadrics_in_scene: int,
         return False
     if n_quadrics_in_scene > MAX_BRUTE_QUADRICS:
         return False
+    if getattr(scene, "curve_packed", None) is not None:
+        # Procedural curves run in the XLA loop (shapes/curve.py); the
+        # packet kernel's leaf rows hold triangles only.
+        return False
     nodes4 = getattr(scene, "kernel_nodes4", None)
     if _USE_BVH4 and nodes4 is not None:
         # 4-wide kernel pages cold nodes from HBM (config-5 scale): no

@@ -34,6 +34,7 @@ SHAPE_DISK = 3
 SHAPE_CONE = 4
 SHAPE_PARABOLOID = 5
 SHAPE_HYPERBOLOID = 6
+SHAPE_CURVE = 7  # procedural cubic Bezier curve (shapes/curve.py)
 
 # Light type ids (core/light.h:49 LightFlags taxonomy collapses into these)
 LIGHT_POINT = 0
@@ -183,6 +184,7 @@ class SceneArrays:
     tri_attr: jnp.ndarray = None  # [T,26] f32 v(9)|uv(6)|n(9)|has_n|pad
     tri_verts: jnp.ndarray = None  # [T,9] f32 pre-dereferenced p0|p1|p2
     q_packed: jnp.ndarray = None  # [Q,24] f32 w2o rows (12) | params (12)
+    curve_packed: jnp.ndarray = None  # [C,28] f32 procedural curve rows
     nodes_packed: jnp.ndarray = None  # [M,9] f32: bounds(6), child/leaf, nprims, axis
     leaf_packed: jnp.ndarray = None  # [NL,140] f32: 4 prim slots x 20
     # Pallas packet-kernel tables (ops/pallas_bvh.py layout)
@@ -279,6 +281,7 @@ class SceneBuilder:
         self._n_verts = 0
         self._n_tris = 0
         self.quadrics: list[tuple] = []
+        self.curves: list[np.ndarray] = []  # CURVE_ROW_W rows (world cps)
         self.materials: list[dict] = []
         self.lights: list[dict] = []
         self.light_strategy = "uniform"
@@ -514,6 +517,74 @@ class SceneBuilder:
         )
 
     # -- lights --
+    def add_curve(
+        self,
+        cp,  # [4,3] cubic Bezier control points (object space)
+        width0: float,
+        width1: float,
+        curve_type: str = "flat",
+        normals=None,  # [2,3] ribbon end normals
+        object_to_world: tf.Transform | None = None,
+        material: int = -1,
+        splitdepth: int = 3,
+    ) -> None:
+        """Procedural curve prims (shapes/curve.cpp CreateCurveShape):
+        the Bezier is split into 2**splitdepth u-range sub-curves (pbrt
+        CreateCurve), each split further until the conservative refinement
+        depth fits the prim test's static window budget (curve.K_LOG2), so
+        the in-test sweep reaches pbrt's exact refinement level."""
+        from .shapes.curve import (
+            CURVE_FLAT, CURVE_CYLINDER, CURVE_RIBBON,
+            pack_curve_rows, split_curve_for_build, curve_prim_bounds,
+        )
+
+        cp = np.asarray(cp, np.float32).reshape(4, 3)
+        if object_to_world is not None and not object_to_world.is_identity():
+            cp = object_to_world.apply_point(cp).astype(np.float32)
+            if normals is not None:
+                normals = object_to_world.apply_normal(
+                    np.asarray(normals, np.float32)
+                )
+        ctype = {"flat": CURVE_FLAT, "cylinder": CURVE_CYLINDER,
+                 "ribbon": CURVE_RIBBON}[curve_type]
+        n_seg = 1 << max(int(splitdepth), 0)
+        segs = []
+        from .shapes.curve import K_LOG2  # noqa: F401 (documented budget)
+
+        def blossom_np(c, s0, s1):
+            def bl(a, b_, cc):
+                a0 = c[0] * (1 - a) + c[1] * a
+                a1 = c[1] * (1 - a) + c[2] * a
+                a2 = c[2] * (1 - a) + c[3] * a
+                b0 = a0 * (1 - b_) + a1 * b_
+                b1 = a1 * (1 - b_) + a2 * b_
+                return b0 * (1 - cc) + b1 * cc
+
+            return np.stack(
+                [bl(s0, s0, s0), bl(s0, s0, s1), bl(s0, s1, s1),
+                 bl(s1, s1, s1)]
+            )
+
+        for i in range(n_seg):
+            a, b_ = i / n_seg, (i + 1) / n_seg
+            c_seg = blossom_np(cp.astype(np.float64), a, b_)
+            segs.extend(
+                split_curve_for_build(c_seg, width0, width1, a, b_)
+            )
+        for cp12, u0, u1 in segs:
+            row = pack_curve_rows(
+                cp12[None], width0, width1, u0, u1, ctype,
+                None if normals is None else normals[0:1],
+                None if normals is None else normals[1:2],
+            )[0]
+            bmin, bmax = curve_prim_bounds(cp12, u0, u1, width0, width1)
+            self.prims.append(
+                _Prim(
+                    SHAPE_CURVE, len(self.curves), material, -1, bmin, bmax
+                )
+            )
+            self.curves.append(row)
+
     def add_point_light(self, light_to_world: tf.Transform, intensity) -> int:
         self.lights.append(
             dict(
@@ -767,7 +838,10 @@ class SceneBuilder:
             leaf_packed[rows[tri_m], base + 2 : base + 11] = tri_verts[
                 sidx[tri_m]
             ]
-            q_m = ~tri_m
+            # curve prims index curve_packed, not q_packed (their leaf
+            # payload is unused: _test_slot/_traverse_packed do not support
+            # curves; the if-if loop gathers curve rows by prim id).
+            q_m = ~tri_m & (ptype != SHAPE_CURVE)
             leaf_packed[rows[q_m], base + 2 : base + 18] = q_packed_np[
                 sidx[q_m], :16
             ]
@@ -779,10 +853,14 @@ class SceneBuilder:
             kernel_leaves[:, k, 0] = src[:, 0]
             kernel_leaves[:, k, 1] = src[:, 1]
             kernel_leaves[:, k, 2:11] = src[:, 2:11]
+        if self.curves:
+            curve_packed = np.stack(self.curves).astype(np.float32)
+        else:
+            curve_packed = None
         # Per-quadric BVH-ordered prim row (for the brute-force quadric pass).
         q_prim_id = np.full(max(len(self.quadrics), 1), -1, np.int32)
         for row, (pt, pi) in enumerate(zip(prim_type, prim_idx)):
-            if pt != SHAPE_TRIANGLE:
+            if pt != SHAPE_TRIANGLE and pt != SHAPE_CURVE:
                 q_prim_id[pi] = row
         child_or_leaf = np.where(is_leaf, leaf_ids, bvh.offset)
         nodes_packed = np.concatenate(
@@ -840,6 +918,9 @@ class SceneBuilder:
             tri_attr=jnp.asarray(tri_attr),
             tri_verts=jnp.asarray(tri_verts),
             q_packed=jnp.asarray(q_packed_np),
+            curve_packed=(
+                None if curve_packed is None else jnp.asarray(curve_packed)
+            ),
             nodes_packed=jnp.asarray(nodes_packed),
             leaf_packed=jnp.asarray(leaf_packed),
             kernel_nodes=jnp.asarray(kernel_nodes),
