@@ -105,6 +105,29 @@ def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
             m = (ptype == sc.SHAPE_CURVE) & cres["hit"]
             t = jnp.where(m & (cres["t"] < t), cres["t"], t)
             hit = hit | m
+        if sc.SHAPE_TRIANGLE_INST in quadric_types:
+            # TransformedPrimitive::Intersect (primitive.cpp:99-140): the
+            # RAY is transformed into object space (direction unnormalized,
+            # so t stays in world units) and tested against the SHARED
+            # object-space triangle row.
+            it = scene.inst_tri[
+                jnp.clip(pidx, 0, scene.inst_tri.shape[0] - 1)
+            ]
+            xf = scene.inst_xf[
+                jnp.clip(it[..., 1], 0, scene.inst_xf.shape[0] - 1)
+            ]
+            w2i = xf[..., :12].reshape(xf.shape[:-1] + (3, 4))
+            oo = vm.xform_point(w2i, o)
+            od = vm.xform_vector(w2i, d)
+            vi = scene.tri_verts[
+                jnp.clip(it[..., 0], 0, scene.tri_verts.shape[0] - 1)
+            ]
+            tri_i = intersect_triangle(
+                oo, od, t_best, vi[..., 0:3], vi[..., 3:6], vi[..., 6:9]
+            )
+            m = (ptype == sc.SHAPE_TRIANGLE_INST) & tri_i["hit"]
+            t = jnp.where(m & (tri_i["t"] < t), tri_i["t"], t)
+            hit = hit | m
     return hit, t
 
 
@@ -556,8 +579,8 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
             sc.SHAPE_HYPERBOLOID: quad.intersect_hyperboloid,
         }
         for qt in quadric_types:
-            if qt == sc.SHAPE_CURVE:
-                continue  # dedicated curve branch below
+            if qt in (sc.SHAPE_CURVE, sc.SHAPE_TRIANGLE_INST):
+                continue  # dedicated branches below
             t_arg = jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf)
             if qt in fns_par:
                 s = fns_par[qt](o, d, t_arg, w2o, o2w, par[..., :12])
@@ -599,6 +622,80 @@ def _hit_record(scene, o, d, t, prim_id, quadric_types=()):
         dpdu = jnp.where(mv, cres["dpdu"], dpdu)
         dpdv = jnp.where(mv, cres["dpdv"], dpdv)
         ss_sh = jnp.where(mv, cres["dpdu"], ss_sh)
+
+    if sc.SHAPE_TRIANGLE_INST in quadric_types:
+        # Instanced hit: rebuild the SurfaceInteraction in OBJECT space
+        # against the shared attr row, then transform it to world —
+        # Transform::operator()(SurfaceInteraction), transform.cpp:415-440:
+        # point with abs-matrix error propagation, vectors linearly,
+        # normals by the inverse transpose, both renormalized.
+        it = scene.inst_tri[jnp.clip(pidx, 0, scene.inst_tri.shape[0] - 1)]
+        xf = scene.inst_xf[
+            jnp.clip(it[..., 1], 0, scene.inst_xf.shape[0] - 1)
+        ]
+        w2i = xf[..., :12].reshape(xf.shape[:-1] + (3, 4))
+        i2w = xf[..., 12:24].reshape(xf.shape[:-1] + (3, 4))
+        oo = vm.xform_point(w2i, o)
+        od = vm.xform_vector(w2i, d)
+        a_i = scene.tri_attr[
+            jnp.clip(it[..., 0], 0, scene.tri_attr.shape[0] - 1)
+        ]
+        q0, q1, q2 = a_i[..., 0:3], a_i[..., 3:6], a_i[..., 6:9]
+        t_arg = jnp.where(hit, t * 1.0001 + 1e-6, jnp.inf)
+        tri_i = intersect_triangle(oo, od, t_arg, q0, q1, q2)
+        ng_i, dpdu_i, dpdv_i = triangle_geometry(
+            q0, q1, q2, a_i[..., 9:11], a_i[..., 11:13], a_i[..., 13:15]
+        )
+        bi0, bi1, bi2 = tri_i["b0"], tri_i["b1"], tri_i["b2"]
+        uv_i = (
+            bi0[..., None] * a_i[..., 9:11]
+            + bi1[..., None] * a_i[..., 11:13]
+            + bi2[..., None] * a_i[..., 13:15]
+        )
+        has_n_i = a_i[..., 24] > 0.0
+        ns_raw_i = (
+            bi0[..., None] * a_i[..., 15:18]
+            + bi1[..., None] * a_i[..., 18:21]
+            + bi2[..., None] * a_i[..., 21:24]
+        )
+        nsl2 = jnp.sum(ns_raw_i * ns_raw_i, -1, keepdims=True)
+        okn = has_n_i[..., None] & (nsl2 > 1e-16)
+        ns_i = jnp.where(okn, ns_raw_i / jnp.sqrt(jnp.where(okn, nsl2, 1.0)),
+                         ng_i)
+        flip_i = jnp.sum(ng_i * ns_i, -1) < 0.0
+        ng_i = jnp.where((has_n_i & flip_i)[..., None], -ng_i, ng_i)
+        # -> world
+        p_w = vm.xform_point(i2w, tri_i["p_hit"])
+        absm = jnp.abs(i2w[..., :3, :3])
+        g3 = gamma(3)
+        p_err_w = (g3 + 1.0) * jnp.sum(
+            absm * tri_i["p_error"][..., None, :], -1
+        ) + g3 * jnp.abs(p_w)
+        dpdu_w = vm.xform_vector(i2w, dpdu_i)
+        dpdv_w = vm.xform_vector(i2w, dpdv_i)
+        # normals: inverse transpose of i2w = w2i^T
+        def _xform_normal(w2i_rows, nvec):
+            return jnp.stack(
+                [jnp.sum(w2i_rows[..., :3, j] * nvec, -1) for j in range(3)],
+                -1,
+            )
+
+        ng_w = _xform_normal(w2i, ng_i)
+        ns_w = _xform_normal(w2i, ns_i)
+        ngl = jnp.sqrt(jnp.maximum(jnp.sum(ng_w * ng_w, -1, keepdims=True), 1e-30))
+        nsl = jnp.sqrt(jnp.maximum(jnp.sum(ns_w * ns_w, -1, keepdims=True), 1e-30))
+        ng_w = ng_w / ngl
+        ns_w = ns_w / nsl
+        m = (ptype == sc.SHAPE_TRIANGLE_INST) & hit & tri_i["hit"]
+        mv = m[..., None]
+        p = jnp.where(mv, p_w, p)
+        ng = jnp.where(mv, ng_w, ng)
+        ns = jnp.where(mv, ns_w, ns)
+        uv = jnp.where(mv, uv_i, uv)
+        p_err = jnp.where(mv, p_err_w, p_err)
+        dpdu = jnp.where(mv, dpdu_w, dpdu)
+        dpdv = jnp.where(mv, dpdv_w, dpdv)
+        ss_sh = jnp.where(mv, dpdu_w, ss_sh)
 
     return {
         "hit": hit,

@@ -866,6 +866,11 @@ def kernel_supported(scene, n_quadrics_in_scene: int,
         # Procedural curves run in the XLA loop (shapes/curve.py); the
         # packet kernel's leaf rows hold triangles only.
         return False
+    if getattr(scene, "inst_tri", None) is not None:
+        # Instanced prims need per-lane ray transforms mid-traversal; the
+        # XLA loop handles them (accel/traverse.py) — kernel support is a
+        # documented follow-up.
+        return False
     nodes4 = getattr(scene, "kernel_nodes4", None)
     if _USE_BVH4 and nodes4 is not None:
         # 4-wide kernel pages cold nodes from HBM (config-5 scale): no

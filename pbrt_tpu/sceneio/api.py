@@ -931,11 +931,38 @@ class PbrtApi:
         self.current_object = None
         self.attribute_end()
 
+    # Shape statements that produce triangle meshes — eligible for shared
+    # mesh templates (runtime instancing).
+    _MESH_SHAPES = frozenset(
+        ("trianglemesh", "plymesh", "loopsubdiv", "heightfield", "nurbs")
+    )
+
     def object_instance(self, name, params=None):
-        """Instances are flattened at compile time: shapes re-added under the
-        instance CTM (TransformedPrimitive re-expression — no runtime
-        indirection; vertices are duplicated per instance)."""
-        for shape_name, ps, o2w, mat, gs in self.objects.get(name, []):
+        """TransformedPrimitive instancing (api.cpp:1520-1588 +
+        core/primitive.h:99-127): mesh shapes in the object are built ONCE
+        into a shared object-space template; each instance adds only
+        per-triangle transformed bounds + a (tri,instance) row, and the
+        traversal transforms rays into object space at hit time
+        (accel/traverse.py SHAPE_TRIANGLE_INST).  Non-mesh shapes
+        (quadrics/curves — constant-size records) are re-added per
+        instance under the combined transform."""
+        shapes = self.objects.get(name, [])
+        b = self.setup.scene_builder
+        mesh_shapes = [s_ for s_ in shapes if s_[0] in self._MESH_SHAPES]
+        other = [s_ for s_ in shapes if s_[0] not in self._MESH_SHAPES]
+        if mesh_shapes:
+            if not hasattr(self, "_mesh_templates"):
+                self._mesh_templates = {}
+            if name not in self._mesh_templates:
+                b.begin_mesh_template()
+                for shape_name, ps, o2w, mat, gs in mesh_shapes:
+                    # Template vertices carry the shape's own o2w (object
+                    # space for the instance); the instance CTM applies at
+                    # traversal time.
+                    self._create_shape(shape_name, ps, o2w, mat, gs)
+                self._mesh_templates[name] = b.end_mesh_template()
+            b.add_mesh_instance(self._mesh_templates[name], self.ctm)
+        for shape_name, ps, o2w, mat, gs in other:
             self._create_shape(shape_name, ps, self.ctm @ o2w, mat, gs)
 
     def medium_interface(self, inside, outside):

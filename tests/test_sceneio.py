@@ -115,7 +115,15 @@ WorldEnd
 """
     )
     b = s.scene_builder
-    assert b._n_tris == 2
-    p = np.concatenate(b.tri_p)
-    # Second instance translated by +5 in x.
-    assert abs(p[3:, 0].min() - 5.0) < 1e-5
+    # Runtime instancing (round 5): ONE shared object-space triangle row,
+    # two TransformedPrimitive instances — no vertex duplication
+    # (primitive.h:99-127; the old flattening duplicated verts).
+    assert b._n_tris == 1
+    assert len(b.instances) == 2
+    assert len(b.inst_tri) == 2
+    # Second instance's instance-to-world carries the +5 x translation.
+    i2w = b.instances[1][12:24].reshape(3, 4)
+    assert abs(i2w[0, 3] - 5.0) < 1e-5
+    scene = s.build_scene()
+    # Transformed world bounds reach the translated instance.
+    assert float(np.asarray(scene.bvh_max)[0, 0]) >= 6.0 - 1e-4
