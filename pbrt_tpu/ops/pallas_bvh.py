@@ -9,25 +9,29 @@ facts that shape this design (tools/bench_gather.py + traversal bisection):
     TPU), but scalar-indexed dynamic slices from VMEM are cheap.
 
 So: PACKET traversal — one shared traversal order per block of rays
-(classic wide-SIMD packet tracing, here 8x128 = 1024 rays/packet):
-  * the whole flattened node table (nodes_packed [M,12] f32, zero-padded to
-    a lane multiple) resides in VMEM — killeroo's 118k nodes = 5.5 MB;
-  * the packet walks ONE node at a time: scalar reads of the node row via
-    static-size dynamic slices, vector slab test over all 1024 lanes;
-  * a scalar stack lives in SMEM scratch; descend order = packet majority
-    vote on the split-axis direction sign;
+(classic wide-SIMD packet tracing, default 32x128 = 4096 rays/packet):
+  * DEFAULT (round 5): a 4-WIDE BVH (`_make_kernel4`) — each interior
+    visit slab-tests four child boxes from one masked-lane node fetch,
+    descends the packet-nearest child and pushes the rest; leaf children
+    ride the scalar SMEM stack as LEAF_BIT-tagged entries.  ~Halves
+    while-loop trips vs the binary kernel (the loop is per-iteration-
+    overhead bound).  PBRT_TPU_BVH4=0 selects the binary kernel.
+  * node tables up to 8 MB reside wholly in VMEM; bigger scenes (BASELINE
+    config 5, >1M triangles) switch to HBM-PAGED mode — the BFS-ordered
+    top of the tree stays resident, cold 16KB pages DMA per visit.
   * leaf prims (kernel_leaves [NL, 128]: 7 slots of {type, prim_id,
-    v0|v1|v2}) are tested by the whole packet, slots unrolled;
+    v0|v1|v2}) are DMA'd from HBM and tested by the whole packet;
   * one packet per grid step — Pallas streams ray/output blocks, so batch
     size is VMEM-unbounded.
 
 Divergence cost = the packet visits the union of its rays' nodes, so callers
 should sort rays by (direction octant, origin morton) between bounces; the
 plain wavefront loop in accel/traverse.py remains the semantic reference and
-the fallback for scenes whose node table exceeds VMEM.
+the fallback for kd-tree scenes and for prim types the kernel's leaf rows
+cannot hold (procedural curves, instanced triangles).
 
-Quadric prims take the XLA fallback for now (packet kernel handles
-triangle-only scenes; mixed scenes route quadrics via a second pass — TODO).
+Quadric prims take a brute-force second pass (scenes carry few of them,
+e.g. killeroo's single light sphere).
 """
 from __future__ import annotations
 

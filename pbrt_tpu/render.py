@@ -61,9 +61,11 @@ def render_setup(setup: RenderSetup, spp_override=None, res_override=None,
         # Two engines, identical sample streams on non-subsurface scenes:
         #   lockstep  — per-spp batch, bounce loop (integrators/path.py)
         #   wavefront — persistent lane pool + refill (integrators/wavefront.py)
-        # Default = lockstep.  (Round-3's recorded engine numbers were
-        # compile artifacts — see BENCH_r04 for the first warm-cache
-        # measurements.)  Opt into wavefront with PBRT_TPU_ENGINE=wavefront.
+        # Default = lockstep: the measured-faster engine on TPU (round-5
+        # warm-cache bench: lockstep 1.04 vs wavefront 0.68 Mrays/s on
+        # killeroo — the wavefront's per-lane dyn sampler draws still pay
+        # the per-digit gather cost the lockstep table avoids).  Opt into
+        # wavefront with PBRT_TPU_ENGINE=wavefront.
         import os as _os
 
         cfg = setup.make_integrator_config()
