@@ -131,117 +131,6 @@ def _test_prim(scene: sc.SceneArrays, prim_id, o, d, t_best, quadric_types):
     return hit, t
 
 
-def _test_slot(slot, o, d, t_best, quadric_types):
-    """Test one 20-float packed prim slot: [0]=type, [1]=prim_id,
-    tri: [2..10]=v0|v1|v2; quadric: [2..13]=w2o rows, [14..17]=params."""
-    ptype = slot[..., 0].astype(jnp.int32)
-    prim_id = slot[..., 1].astype(jnp.int32)
-    tri = intersect_triangle(
-        o, d, t_best, slot[..., 2:5], slot[..., 5:8], slot[..., 8:11]
-    )
-    hit = (ptype == sc.SHAPE_TRIANGLE) & tri["hit"]
-    t = jnp.where(hit, tri["t"], jnp.inf)
-    if quadric_types:
-        w2o_rows = slot[..., 2:14].reshape(slot.shape[:-1] + (3, 4))
-        par = slot[..., 14:18]
-        oo = vm.xform_point(w2o_rows, o)
-        od = vm.xform_vector(w2o_rows, d)
-        fns = {
-            sc.SHAPE_SPHERE: quad.intersect_sphere_object,
-            sc.SHAPE_CYLINDER: quad.intersect_cylinder_object,
-            sc.SHAPE_DISK: quad.intersect_disk_object,
-        }
-        for qt in quadric_types:
-            if qt not in fns:
-                continue  # curves unsupported in packed-slot traversal
-            sres = fns[qt](oo, od, t_best, par[..., 0], par[..., 1], par[..., 2], par[..., 3])
-            m = (ptype == qt) & sres["hit"]
-            t = jnp.where(m & (sres["t"] < t), sres["t"], t)
-            hit = hit | m
-    return hit, t, prim_id
-
-
-def _traverse_packed(scene: sc.SceneArrays, o, d, t_max, quadric_types, any_hit: bool):
-    """Leaf-packed lockstep traversal: ONE node-row gather + ONE 80-float
-    leaf-row gather per iteration; all <=4 leaf prims tested in the same
-    iteration.  Measured SLOWER than the if-if loop on the axon TPU backend
-    (the 4x wider elementwise body outweighs the gather savings — the
-    backend's elementwise fusion is weak), but the packed node/leaf layout it
-    uses is exactly what the Pallas packet kernel consumes; kept as an
-    alternative and as that kernel's reference semantics."""
-    n = o.shape[0]
-    inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
-    slot_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
-
-    state = dict(
-        node=jnp.zeros((n,), jnp.int32),
-        sp=jnp.zeros((n,), jnp.int32),
-        stack=jnp.zeros((n, STACK_DEPTH), jnp.int32),
-        t_best=jnp.asarray(t_max) * jnp.ones((n,), jnp.float32),
-        prim_best=jnp.full((n,), -1, jnp.int32),
-    )
-
-    def alive(s):
-        live = s["node"] >= 0
-        if any_hit:
-            live = live & (s["prim_best"] < 0)
-        return live
-
-    def cond(s):
-        return jnp.any(alive(s))
-
-    def body(s):
-        at_node = alive(s)
-        nd = jnp.clip(s["node"], 0, scene.nodes_packed.shape[0] - 1)
-        row = scene.nodes_packed[nd]  # ONE gather
-        node_hit = at_node & _slab_test(
-            row[..., 0:3], row[..., 3:6], o, inv_d, s["t_best"]
-        )
-        child_or_leaf = row[..., 6].astype(jnp.int32)
-        nprims = row[..., 7].astype(jnp.int32)
-        axis = row[..., 8].astype(jnp.int32)
-        is_leaf = nprims > 0
-        enter_leaf = node_hit & is_leaf
-        is_push = node_hit & ~is_leaf
-        need_pop = at_node & ~is_push
-
-        # ---- leaf: one 80-float gather, 4 slots tested now ----
-        lrow = jnp.clip(child_or_leaf, 0, scene.leaf_packed.shape[0] - 1)
-        leaf = scene.leaf_packed[lrow]  # ONE gather
-        t_best = s["t_best"]
-        prim_best = s["prim_best"]
-        for k in range(7):
-            slot = leaf[..., 20 * k : 20 * (k + 1)]
-            h, t, pid = _test_slot(slot, o, d, t_best, quadric_types)
-            take = enter_leaf & h & (t < t_best)
-            t_best = jnp.where(take, t, t_best)
-            prim_best = jnp.where(take, pid, prim_best)
-
-        # ---- interior: push far, descend near ----
-        dir_neg = vm.component3(d, axis) < 0.0
-        near = jnp.where(dir_neg, child_or_leaf, nd + 1)
-        far = jnp.where(dir_neg, nd + 1, child_or_leaf)
-        spc = jnp.clip(s["sp"], 0, STACK_DEPTH - 1)
-        write_mask = is_push[:, None] & (slot_iota == spc[:, None])
-        stack = jnp.where(write_mask, far[:, None], s["stack"])
-        sp = s["sp"] + is_push.astype(jnp.int32)
-
-        can_pop = sp > 0
-        sp_popped = jnp.clip(sp - 1, 0, STACK_DEPTH - 1)
-        popped = jnp.take_along_axis(stack, sp_popped[:, None], axis=1)[:, 0]
-        node = jnp.where(
-            need_pop,
-            jnp.where(can_pop, popped, -1),
-            jnp.where(is_push, near, s["node"]),
-        )
-        sp = jnp.where(need_pop & can_pop, sp - 1, sp)
-
-        return dict(node=node, sp=sp, stack=stack, t_best=t_best, prim_best=prim_best)
-
-    out = jax.lax.while_loop(cond, body, state)
-    return jax.lax.stop_gradient(out["t_best"]), out["prim_best"]
-
-
 def _traverse(scene: sc.SceneArrays, o, d, t_max, quadric_types,
               any_hit: bool, any_mask=None):
     """Default lockstep 'if-if' traversal (one node visit OR one prim test

@@ -610,6 +610,20 @@ def render_sample_batch(
         sampler_cfg, pixels, jnp.full((n,), sample_num, jnp.uint32)
     )
     if exact_table is not None:
+        n_dims = 5 + sum(
+            _dims_per_bounce(b, statics.mat_types)
+            for b in range(cfg.max_depth)
+        ) + 1
+        if exact_table.shape[0] < n_dims:
+            # Partial (PixelSampler) table: the remaining dims draw the
+            # stateless equivalents (documented truncation — pbrt falls
+            # back to a sequential per-tile RNG there, which lockstep
+            # cannot reproduce; see exact_tables.pixel_exact_table).
+            tail = jnp.stack(
+                [sa.get_1d(sampler_cfg, state, dd)
+                 for dd in range(exact_table.shape[0], n_dims)], 0
+            )
+            exact_table = jnp.concatenate([exact_table, tail], 0)
         state = dict(state, table=exact_table)
     elif sampler_cfg.name == "halton":
         # Precompute the batch's halton dims ONCE with the static per-dim
@@ -713,23 +727,32 @@ def render(
     want_aux = count_rays or stats_out
     step = _step_fn(sampler_cfg, cfg, statics, want_aux)
     exact = getattr(sampler_cfg, "exact", False)
-    if exact and sampler_cfg.name != "halton":
+    from ..samplers import exact_tables as xt
+
+    pixel_exact = exact and sampler_cfg.name in xt.PIXEL_EXACT_SAMPLERS
+    if exact and not pixel_exact and sampler_cfg.name != "halton":
         raise NotImplementedError(
-            "exact-tables render mode currently covers the halton sampler "
-            "(the parity-critical GlobalSampler); the PixelSampler exact "
-            "streams exist host-side in samplers/pixel_exact.py"
+            "exact-tables render mode covers halton (full-stream) and the "
+            "PixelSamplers stratified/(0,2)/maxmin (array-backed dims; "
+            "samplers/exact_tables.pixel_exact_table)"
         )
     if exact:
-        from ..samplers import exact_tables as xt
-
         pixels_np = np.asarray(pixels)
         n_dims = xt.n_dims_for(cfg, statics)
     counters = st.zeros()
     for s in range(start, sampler_cfg.spp):
         if exact:
-            tab = jnp.asarray(
-                xt.halton_exact_table(sampler_cfg, pixels_np, s, n_dims).T
-            )  # [D, N]
+            if pixel_exact:
+                # Array-backed dims 0..9 bit-exact (pbrt per-tile RNG
+                # order); render_sample_batch extends the table with the
+                # stateless draws for the remaining dims.
+                tab = jnp.asarray(xt.pixel_exact_table(
+                    sampler_cfg.name, pixels_np, s, sampler_cfg.spp
+                ))
+            else:
+                tab = jnp.asarray(
+                    xt.halton_exact_table(sampler_cfg, pixels_np, s, n_dims).T
+                )  # [D, N]
             out = step(scene, camera, film_state, pixels, jnp.uint32(s),
                        exact_table=tab)
         else:

@@ -167,3 +167,71 @@ def n_dims_for(path_cfg, statics) -> int:
         d += _dims_per_bounce(b, statics.mat_types)
     # scan body reads (but discards) the RR slot on bounces <= 3.
     return d + 1
+
+
+# ---------------------------------------------------------------------------
+# PixelSampler exact tables (stratified / zerotwosequence / maxmindist /
+# random) — round-5: exact_pixel_tables wired into a RENDER mode.
+#
+# pbrt's PixelSamplers draw their first `nSampledDimensions` (default 4)
+# Get1D and Get2D calls from per-pixel arrays generated at StartPixel by a
+# SEQUENTIAL per-tile RNG (Clone(seed = tileY*nTilesX + tileX), pixels in
+# x-fastest tile-scan order, integrator.cpp:240-258); calls beyond fall
+# back to that rng's UniformFloat stream, whose consumption is
+# data-dependent — unreproducible in lockstep (same truncation as the
+# sampler-parity story, samplers/pixel_exact.py docstring).  The render
+# mode therefore ships the ARRAY-backed dims (camera dims 0-4 + bounce-0
+# select/light/scatter = linear dims 0..9, whose call ordinals are static:
+# 1D ordinals time=0,select=1; 2D film=0,lens=1,light=2,scatter=3) as a
+# bit-exact host table and leaves the stateless-hash equivalents for the
+# rest.  Camera rays and first-bounce NEE then consume reference-exact
+# streams (golden-tested vs the reference binary's dumps through
+# pixel_exact.py).
+#
+# Tile origin assumption: sampleBounds == cropped pixel bounds (true for
+# the box filter, radius 0.5; wider filters shift pbrt's tile grid by the
+# filter expand — documented deviation for this mode).
+# ---------------------------------------------------------------------------
+
+PIXEL_EXACT_SAMPLERS = ("stratified", "zerotwosequence", "maxmindist",
+                        "maxmin")
+_TILE = 16  # pbrt tileSize (integrator.cpp:243)
+N_PIXEL_TABLE_DIMS = 10  # linear dims 0..9 covered by the arrays
+
+
+def pixel_exact_table(name, pixels, sample_num, spp, strat_xy=None):
+    """[N_PIXEL_TABLE_DIMS, n_pix] f32: the array-backed linear dims for
+    every pixel at sample index `sample_num`, in pbrt's per-tile RNG
+    order.  `pixels` [N,2] must be the full cropped row-major grid."""
+    from .pixel_exact import exact_pixel_tables
+
+    name = {"maxmin": "maxmindist"}.get(name, name)
+    pixels = np.asarray(pixels)
+    n = pixels.shape[0]
+    x0, y0 = pixels[:, 0].min(), pixels[:, 1].min()
+    x1, y1 = pixels[:, 0].max() + 1, pixels[:, 1].max() + 1
+    n_tiles_x = -(-(x1 - x0) // _TILE)
+    tx = (pixels[:, 0] - x0) // _TILE
+    ty = (pixels[:, 1] - y0) // _TILE
+    tile_id = ty * n_tiles_x + tx
+    out = np.zeros((N_PIXEL_TABLE_DIMS, n), np.float32)
+    for t in np.unique(tile_id):
+        sel = np.nonzero(tile_id == t)[0]
+        # x-fastest scan order within the tile (Bounds2iIterator).
+        order = np.lexsort((pixels[sel, 0], pixels[sel, 1]))
+        rows = sel[order]
+        s1, s2 = exact_pixel_tables(
+            name, pixels[rows], spp, 4, 4, seed=int(t), strat_xy=strat_xy
+        )
+        s = sample_num
+        out[0, rows] = s2[:, 0, s, 0]   # film.x   (2D call 0)
+        out[1, rows] = s2[:, 0, s, 1]   # film.y
+        out[2, rows] = s1[:, 0, s]      # time     (1D call 0)
+        out[3, rows] = s2[:, 1, s, 0]   # lens     (2D call 1)
+        out[4, rows] = s2[:, 1, s, 1]
+        out[5, rows] = s1[:, 1, s]      # b0 light select (1D call 1)
+        out[6, rows] = s2[:, 2, s, 0]   # b0 uLight (2D call 2)
+        out[7, rows] = s2[:, 2, s, 1]
+        out[8, rows] = s2[:, 3, s, 0]   # b0 uScattering (2D call 3)
+        out[9, rows] = s2[:, 3, s, 1]
+    return out

@@ -917,8 +917,8 @@ class SceneBuilder:
                 sidx[tri_m]
             ]
             # curve prims index curve_packed, not q_packed (their leaf
-            # payload is unused: _test_slot/_traverse_packed do not support
-            # curves; the if-if loop gathers curve rows by prim id).
+            # payload is unused — the kernel falls back to the if-if loop
+            # for curve scenes, which gathers curve rows by prim id).
             q_m = ~tri_m & (ptype != SHAPE_CURVE) & (
                 ptype != SHAPE_TRIANGLE_INST
             )

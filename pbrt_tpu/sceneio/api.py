@@ -136,11 +136,15 @@ class RenderSetup:
         spp = p.find_one_int("pixelsamples", 16)
         import os as _os
 
-        # PBRT_TPU_EXACT_SAMPLER=1: f64-exact host sample tables (parity
-        # mode, samplers/exact_tables.py); lockstep halton renders only.
+        # PBRT_TPU_EXACT_SAMPLER=1: bit-exact host sample tables (parity
+        # mode, samplers/exact_tables.py) — halton full-stream, plus the
+        # PixelSamplers' array-backed dims (stratified/(0,2)/maxmin);
+        # lockstep renders only.
+        from ..samplers.exact_tables import PIXEL_EXACT_SAMPLERS
+
         exact = (
             _os.environ.get("PBRT_TPU_EXACT_SAMPLER", "0") == "1"
-            and name == "halton"
+            and (name == "halton" or name in PIXEL_EXACT_SAMPLERS)
         )
         return SamplerConfig(name, spp, self.resolution, exact=exact)
 
